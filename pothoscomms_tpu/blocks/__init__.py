@@ -1,0 +1,10 @@
+"""Block catalog — importing this package registers every block factory.
+
+Mirrors the reference's per-module plugin registration (SURVEY.md §2.12: the
+57 registered `/comms/...` paths). Each submodule corresponds to a reference
+module directory.
+"""
+
+import pothoscomms_tpu.core.fixtures  # noqa: F401  test fixture blocks
+
+from pothoscomms_tpu.blocks import math  # noqa: F401

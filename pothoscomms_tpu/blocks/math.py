@@ -1,0 +1,638 @@
+"""Elementwise math blocks (reference: math/ module, SURVEY.md §2.1).
+
+All 25 registered factories of the reference math module. Each block wraps a
+functional core from :mod:`pothoscomms_tpu.ops.elementwise` — a pure jnp
+function jitted once per block; under the fused-chain compiler these cores
+fuse with neighbors into a single XLA program (the TPU replacement for the
+reference's per-block SIMD dispatch, math/SIMD/*).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pothoscomms_tpu.core.block import Block
+from pothoscomms_tpu.core.dtypes import DType
+from pothoscomms_tpu.core.qformat import float_to_q, from_q, q_dtype_for
+from pothoscomms_tpu.core.registry import register_block
+from pothoscomms_tpu.ops import cint, elementwise as ew
+
+
+def _as_np(x):
+    return np.asarray(x)
+
+
+class ElementwiseBlock(Block):
+    """Generic N-in/M-out elementwise block: work() = jitted core over
+    min-available elements (reference pattern: math/Arithmetic.cpp:204-231)."""
+
+    def __init__(self, dtype, core: Callable, n_in=1, n_out=1, out_dtype=None):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        self.out_dtype = DType.parse(out_dtype) if out_dtype else self.dtype
+        for i in range(n_in):
+            self.setup_input(i, self.dtype)
+        for i in range(n_out):
+            self.setup_output(i, self.out_dtype)
+        self._core = jax.jit(core)
+        self._n_in = n_in
+        self._n_out = n_out
+
+    def work(self):
+        elems = min(self.input(i).elements() for i in range(self._n_in))
+        if elems == 0:
+            return
+        ins = [self.input(i).buffer(elems) for i in range(self._n_in)]
+        outs = self._core(*ins)
+        if self._n_out == 1:
+            outs = (outs,)
+        for i in range(self._n_in):
+            self.input(i).consume(elems)
+        for i in range(self._n_out):
+            self.output(i).post(_as_np(outs[i]))
+
+
+# --------------------------------------------------------------------- #
+# /comms/arithmetic — N-ary elementwise chain with preload for feedback
+# loops (reference: math/Arithmetic.cpp)
+# --------------------------------------------------------------------- #
+@register_block("/comms/arithmetic", "/blocks/arithmetic")
+def arithmetic_factory(dtype, operation: str):
+    return Arithmetic(dtype, operation)
+
+
+class Arithmetic(Block):
+    def __init__(self, dtype, operation: str):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        self._fcn = ew.binary_arith_fn(self.dtype, operation)
+        self.setup_input(0, self.dtype)
+        self.setup_input(1, self.dtype)  # requires >= 2 inputs
+        self.setup_output(0, self.dtype)
+        self._preload: List[int] = []
+        self._num_inline_buffers = 0
+
+        def chain(*ins):
+            acc = ins[0]
+            for x in ins[1:]:
+                acc = self._fcn(acc, x)
+            return acc
+
+        self._chain = jax.jit(chain)
+
+    def set_num_inputs(self, num_inputs: int):
+        if num_inputs < 2:
+            raise ValueError("Arithmetic requires inputs >= 2")
+        for i in range(len(self.inputs), num_inputs):
+            self.setup_input(i, self.dtype)
+
+    def set_preload(self, preload: List[int]):
+        self.set_num_inputs(max(2, len(preload)))
+        self._preload = list(preload)
+
+    def preload(self) -> List[int]:
+        return self._preload
+
+    def get_num_inline_buffers(self) -> int:
+        return self._num_inline_buffers
+
+    def activate(self):
+        # pad chosen inputs with zeros for feedback topologies
+        # (reference: math/Arithmetic.cpp:191-202)
+        for i, n in enumerate(self._preload):
+            if n == 0:
+                continue
+            shape = (n,) + self.dtype.storage_shape_suffix
+            self.input(i).push_buffer(np.zeros(shape, self.dtype.np))
+
+    def work(self):
+        ports = [self.input(i) for i in range(len(self.inputs))]
+        elems = min(p.elements() for p in ports)
+        if elems == 0:
+            return
+        bufs = [p.buffer(elems) for p in ports]
+        out = self._chain(*bufs)
+        self._num_inline_buffers += 1  # output aliases in0 under XLA donation
+        for p in ports:
+            p.consume(elems)
+        self.output(0).post(_as_np(out))
+
+    def propagate_labels(self, port, labels):
+        # feedback (preloaded) ports do not propagate labels
+        # (reference: math/Arithmetic.cpp:233-240)
+        idx = int(port.name)
+        if idx < len(self._preload) and self._preload[idx] > 0:
+            return
+        super().propagate_labels(port, labels)
+
+
+# --------------------------------------------------------------------- #
+# /comms/const_arithmetic (reference: math/ConstArithmetic.cpp)
+# --------------------------------------------------------------------- #
+_CONST_OP_KEYS = {
+    "X+K": "X_PLUS_K",
+    "X-K": "X_MINUS_K",
+    "K-X": "K_MINUS_X",
+    "X*K": "X_MULT_K",
+    "X/K": "X_DIV_K",
+    "K/X": "K_DIV_X",
+}
+
+
+@register_block("/comms/const_arithmetic")
+def const_arithmetic_factory(dtype, operation: str, constant):
+    return ConstArithmetic(dtype, operation, constant)
+
+
+class ConstArithmetic(Block):
+    def __init__(self, dtype, operation, constant):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        key = _CONST_OP_KEYS.get(operation, operation)
+        self._fcn = jax.jit(ew.const_arith_fn(self.dtype, key))
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, self.dtype)
+        self.set_constant(constant)
+
+    def set_constant(self, constant):
+        if self.dtype.is_complex_int:
+            c = np.asarray(
+                [np.real(constant), np.imag(constant)], self.dtype.scalar.np
+            )
+        else:
+            c = np.asarray(constant, self.dtype.np)
+        self._constant = c
+
+    def constant(self):
+        if self.dtype.is_complex_int:
+            return complex(self._constant[0], self._constant[1])
+        return self._constant[()]
+
+    def work(self):
+        port = self.input(0)
+        elems = port.elements()
+        if elems == 0:
+            return
+        out = self._fcn(port.buffer(elems), self._constant)
+        port.consume(elems)
+        self.output(0).post(_as_np(out))
+
+
+# --------------------------------------------------------------------- #
+# /comms/scale — Q-format multiply with label-driven factor updates
+# (reference: math/Scale.cpp)
+# --------------------------------------------------------------------- #
+@register_block("/comms/scale", "/blocks/scale")
+def scale_factory(dtype):
+    return Scale(dtype)
+
+
+class Scale(Block):
+    def __init__(self, dtype):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        self._qdtype = q_dtype_for(self.dtype)
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, self.dtype)
+        self._label_id = ""
+        self.set_factor(0.0)
+
+        qscalar = self._qdtype.scalar
+        half = qscalar.bits // 2
+        out_np = self.dtype.np
+        is_int = self.dtype.is_integer
+
+        def kernel(x, factor_q):
+            # tmp = factor_q * Q(x); out = fromQ(tmp)
+            # (reference math/Scale.cpp:15-23)
+            if is_int:
+                tmp = x.astype(qscalar.np) * factor_q
+                return (tmp >> half).astype(out_np)
+            return (x * factor_q).astype(out_np)
+
+        self._kernel = jax.jit(kernel)
+
+    def set_factor(self, factor: float):
+        self._factor = float(factor)
+        # ScaleType is the real scalar Q type even for complex data
+        self._factor_scaled = float_to_q(self._factor, self._qdtype.scalar)
+
+    def get_factor(self) -> float:
+        return self._factor
+
+    def set_label_id(self, label_id: str):
+        self._label_id = label_id
+
+    def get_label_id(self) -> str:
+        return self._label_id
+
+    def _scan_labels(self, port, elems: int) -> int:
+        """Apply label-driven reconfiguration; returns (possibly truncated)
+        work size (reference: math/Scale.cpp:104-122)."""
+        if not self._label_id:
+            return elems
+        for lb in sorted(port.labels, key=lambda l: l.index):
+            if lb.index >= elems:
+                break
+            if lb.id == self._label_id:
+                if lb.index == 0:
+                    self.set_factor(float(lb.data))
+                else:
+                    return lb.index
+        return elems
+
+    def work(self):
+        port = self.input(0)
+        elems = port.elements()
+        if elems == 0:
+            return
+        elems = self._scan_labels(port, elems)
+        out = self._kernel(port.buffer(elems), self._factor_scaled)
+        port.consume(elems)
+        self.output(0).post(_as_np(out))
+
+
+# --------------------------------------------------------------------- #
+# /comms/rotate — complex multiply by e^{j phase} in Q format
+# (reference: math/Rotate.cpp)
+# --------------------------------------------------------------------- #
+@register_block("/comms/rotate")
+def rotate_factory(dtype):
+    return Rotate(dtype)
+
+
+class Rotate(Block):
+    def __init__(self, dtype):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        if not self.dtype.is_complex:
+            raise ValueError("rotate requires a complex dtype")
+        self._qdtype = q_dtype_for(self.dtype)
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, self.dtype)
+        self._label_id = ""
+
+        qscalar = self._qdtype.scalar
+        half = qscalar.bits // 2
+        out_np = self.dtype.np
+        is_int = self.dtype.is_integer
+
+        def kernel(x, phasor):
+            if is_int:
+                xq = x.astype(qscalar.np)
+                prod = cint.mul(xq, phasor.astype(qscalar.np))
+                return (prod >> half).astype(out_np)
+            return (x * phasor).astype(out_np)
+
+        self._kernel = jax.jit(kernel)
+        self.set_phase(0.0)
+
+    def set_phase(self, phase: float):
+        self._phase = float(phase)
+        phasor = np.exp(1j * self._phase)
+        self._phasor = float_to_q(phasor, self._qdtype)
+
+    def get_phase(self) -> float:
+        return self._phase
+
+    def set_label_id(self, label_id: str):
+        self._label_id = label_id
+
+    def get_label_id(self) -> str:
+        return self._label_id
+
+    def work(self):
+        port = self.input(0)
+        elems = port.elements()
+        if elems == 0:
+            return
+        if self._label_id:
+            for lb in sorted(port.labels, key=lambda l: l.index):
+                if lb.index >= elems:
+                    break
+                if lb.id == self._label_id:
+                    if lb.index == 0:
+                        self.set_phase(float(lb.data))
+                    else:
+                        elems = lb.index
+                        break
+        out = self._kernel(port.buffer(elems), self._phasor)
+        port.consume(elems)
+        self.output(0).post(_as_np(out))
+
+
+# --------------------------------------------------------------------- #
+# Comparators (reference: math/Comparator.cpp, math/ConstComparator.cpp)
+# --------------------------------------------------------------------- #
+@register_block("/comms/comparator")
+def comparator_factory(dtype, operation: str):
+    core = ew.comparator_fn(operation)
+    return ElementwiseBlock(dtype, core, n_in=2, out_dtype="int8")
+
+
+@register_block("/comms/const_comparator")
+def const_comparator_factory(dtype, operation: str, constant=0):
+    dt = DType.parse(dtype)
+    cmp = ew.comparator_fn(operation)
+    blk = ConstComparator(dt, cmp, constant)
+    return blk
+
+
+class ConstComparator(Block):
+    def __init__(self, dtype, cmp, constant):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, DType.parse("int8"))
+        self._cmp = jax.jit(cmp)
+        self.set_constant(constant)
+
+    def set_constant(self, constant):
+        self._constant = np.asarray(constant, self.dtype.np)
+
+    def constant(self):
+        return self._constant[()]
+
+    def work(self):
+        port = self.input(0)
+        elems = port.elements()
+        if elems == 0:
+            return
+        out = self._cmp(port.buffer(elems), self._constant)
+        port.consume(elems)
+        self.output(0).post(_as_np(out))
+
+
+# --------------------------------------------------------------------- #
+# Simple unary blocks
+# --------------------------------------------------------------------- #
+@register_block("/comms/abs")
+def abs_factory(dtype):
+    dt = DType.parse(dtype)
+    if dt.kind == "uint":
+        raise ValueError("abs: unsigned types unsupported (reference matrix)")
+    out = dt.scalar if dt.is_complex else dt
+    return ElementwiseBlock(dt, ew.abs_fn(dt), out_dtype=out)
+
+
+@register_block("/comms/angle")
+def angle_factory(dtype):
+    dt = DType.parse(dtype)
+    if not dt.is_complex:
+        raise ValueError("angle requires a complex dtype")
+    return ElementwiseBlock(dt, ew.angle_fn(dt), out_dtype=dt.scalar)
+
+
+@register_block("/comms/conjugate")
+def conjugate_factory(dtype):
+    dt = DType.parse(dtype)
+    if not dt.is_complex:
+        raise ValueError("conjugate requires a complex dtype")
+    return ElementwiseBlock(dt, ew.conjugate_fn(dt))
+
+
+@register_block("/comms/sinc")
+def sinc_factory(dtype):
+    dt = DType.parse(dtype)
+    if not dt.is_float or dt.is_complex:
+        raise ValueError("sinc: float types only")
+    return ElementwiseBlock(dt, ew.unary_fn(dt, "sinc"))
+
+
+@register_block("/comms/sigmoid")
+def sigmoid_factory(dtype):
+    dt = DType.parse(dtype)
+    if not dt.is_float or dt.is_complex:
+        raise ValueError("sigmoid: float types only")
+    return ElementwiseBlock(dt, ew.unary_fn(dt, "sigmoid"))
+
+
+@register_block("/comms/rsqrt")
+def rsqrt_factory(dtype):
+    dt = DType.parse(dtype)
+    if not dt.is_float or dt.is_complex:
+        raise ValueError("rsqrt: float types only")
+    return ElementwiseBlock(dt, ew.rsqrt_fn(dt))
+
+
+@register_block("/comms/gamma")
+def gamma_factory(dtype):
+    dt = DType.parse(dtype)
+    if not dt.is_float or dt.is_complex:
+        raise ValueError("gamma: float types only")
+    return ElementwiseBlock(dt, ew.unary_fn(dt, "gamma"))
+
+
+@register_block("/comms/lngamma")
+def lngamma_factory(dtype):
+    dt = DType.parse(dtype)
+    if not dt.is_float or dt.is_complex:
+        raise ValueError("lngamma: float types only")
+    return ElementwiseBlock(dt, ew.unary_fn(dt, "lngamma"))
+
+
+@register_block("/comms/erf")
+def erf_factory(dtype):
+    dt = DType.parse(dtype)
+    if not dt.is_float or dt.is_complex:
+        raise ValueError("erf: float types only")
+    return ElementwiseBlock(dt, ew.unary_fn(dt, "erf"))
+
+
+@register_block("/comms/erfc")
+def erfc_factory(dtype):
+    dt = DType.parse(dtype)
+    if not dt.is_float or dt.is_complex:
+        raise ValueError("erfc: float types only")
+    return ElementwiseBlock(dt, ew.unary_fn(dt, "erfc"))
+
+
+@register_block("/comms/beta")
+def beta_factory(dtype):
+    dt = DType.parse(dtype)
+    if not dt.is_float or dt.is_complex:
+        raise ValueError("beta: float types only")
+    return ElementwiseBlock(dt, ew.beta_fn(dt), n_in=2)
+
+
+# --------------------------------------------------------------------- #
+# Trigonometric — 24 ops in one block (reference: math/Trigonometric.cpp)
+# --------------------------------------------------------------------- #
+@register_block("/comms/trigonometric")
+def trig_factory(dtype, operation: str):
+    return Trigonometric(dtype, operation)
+
+
+class Trigonometric(ElementwiseBlock):
+    def __init__(self, dtype, operation):
+        dt = DType.parse(dtype)
+        if not dt.is_float or dt.is_complex:
+            raise ValueError("trigonometric: float types only")
+        self._op = None
+        super().__init__(dt, lambda x: x)
+        self.set_operation(operation)
+
+    def set_operation(self, op: str):
+        if op not in ew.TRIG_OPS:
+            raise ValueError(f"invalid trig operation {op}")
+        self._op = op
+        self._core = jax.jit(ew.TRIG_OPS[op])
+
+
+# --------------------------------------------------------------------- #
+# Pow / roots (reference: math/Pow.cpp, math/Root.cpp)
+# --------------------------------------------------------------------- #
+class _ParamUnary(Block):
+    """Unary block with one runtime scalar parameter."""
+
+    param_name = "param"
+
+    def __init__(self, dtype, core2, param):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, self.dtype)
+        self._core2 = jax.jit(core2)
+        self._param = np.asarray(param, np.float64)
+
+    def work(self):
+        port = self.input(0)
+        elems = port.elements()
+        if elems == 0:
+            return
+        out = self._core2(port.buffer(elems), self._param)
+        port.consume(elems)
+        self.output(0).post(_as_np(out))
+
+
+@register_block("/comms/pow")
+def pow_factory(dtype, exponent=0.0):
+    dt = DType.parse(dtype)
+    if dt.is_complex:
+        raise ValueError("pow: real types only")
+    blk = _ParamUnary(dt, ew.pow_fn(dt), exponent)
+    blk.set_exponent = lambda e: setattr(blk, "_param", np.asarray(e, np.float64))
+    blk.exponent = lambda: blk._param[()]
+    blk.setExponent = blk.set_exponent
+    return blk
+
+
+@register_block("/comms/sqrt")
+def sqrt_factory(dtype):
+    dt = DType.parse(dtype)
+    return ElementwiseBlock(dt, ew.root_fn(dt, "sqrt"))
+
+
+@register_block("/comms/cbrt")
+def cbrt_factory(dtype):
+    dt = DType.parse(dtype)
+    return ElementwiseBlock(dt, ew.root_fn(dt, "cbrt"))
+
+
+@register_block("/comms/nth_root")
+def nth_root_factory(dtype, root=1.0):
+    dt = DType.parse(dtype)
+    blk = _ParamUnary(dt, ew.root_fn(dt, "nth"), root)
+    blk.set_root = lambda r: setattr(blk, "_param", np.asarray(r, np.float64))
+    blk.root = lambda: blk._param[()]
+    blk.setRoot = blk.set_root
+    return blk
+
+
+# --------------------------------------------------------------------- #
+# Log / Exp families (reference: math/Log.cpp, math/Exp.cpp)
+# --------------------------------------------------------------------- #
+def _simple_unary_factory(name):
+    def factory(dtype):
+        dt = DType.parse(dtype)
+        if dt.is_complex:
+            raise ValueError(f"{name}: real types only")
+        return ElementwiseBlock(dt, ew.unary_fn(dt, name))
+
+    return factory
+
+
+for _name, _paths in [
+    ("log", ("/comms/log",)),
+    ("log2", ("/comms/log2",)),
+    ("log10", ("/comms/log10",)),
+    ("log1p", ("/comms/log1p",)),
+    ("exp", ("/comms/exp",)),
+    ("exp2", ("/comms/exp2",)),
+    ("exp10", ("/comms/exp10",)),
+    ("expm1", ("/comms/expm1",)),
+]:
+    register_block(*_paths)(_simple_unary_factory(_name))
+
+
+@register_block("/comms/logN")
+def logn_factory(dtype, base=10.0):
+    dt = DType.parse(dtype)
+
+    class _LogN(ElementwiseBlock):
+        def set_base(self, b):
+            if b <= 1:
+                raise ValueError("logN base must be > 1")
+            self._core = jax.jit(ew.logn_fn(dt, float(b)))
+            self._base = float(b)
+
+        def base(self):
+            return self._base
+
+    blk = _LogN(dt, ew.logn_fn(dt, float(base)))
+    blk._base = float(base)
+    return blk
+
+
+@register_block("/comms/expN")
+def expn_factory(dtype, base=10.0):
+    dt = DType.parse(dtype)
+
+    class _ExpN(ElementwiseBlock):
+        def set_base(self, b):
+            if b <= 1:
+                raise ValueError("expN base must be > 1")
+            self._core = jax.jit(ew.expn_fn(dt, float(b)))
+            self._base = float(b)
+
+        def base(self):
+            return self._base
+
+    blk = _ExpN(dt, ew.expn_fn(dt, float(base)))
+    blk._base = float(base)
+    return blk
+
+
+# --------------------------------------------------------------------- #
+# ModF — two output ports (reference: math/ModF.cpp:17-40)
+# --------------------------------------------------------------------- #
+@register_block("/comms/modf")
+def modf_factory(dtype):
+    dt = DType.parse(dtype)
+    if not dt.is_float or dt.is_complex:
+        raise ValueError("modf: float types only")
+    return ModF(dt)
+
+
+class ModF(Block):
+    def __init__(self, dtype):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        self.setup_input(0, self.dtype)
+        self.setup_output("int", self.dtype)
+        self.setup_output("frac", self.dtype)
+        self._core = jax.jit(ew.modf_fn(self.dtype))
+
+    def work(self):
+        port = self.input(0)
+        elems = port.elements()
+        if elems == 0:
+            return
+        integral, frac = self._core(port.buffer(elems))
+        port.consume(elems)
+        self.output("int").post(_as_np(integral))
+        self.output("frac").post(_as_np(frac))

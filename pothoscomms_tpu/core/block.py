@@ -1,0 +1,280 @@
+"""Block protocol, typed ports, signals/slots, probes.
+
+TPU-native equivalent of the ``Pothos::Block`` surface the reference blocks
+are written against (reference: every block, e.g. math/Arithmetic.cpp
+setupInput/setupOutput/registerCall/work/propagateLabels;
+filter/FIRDesigner.cpp:189 registerSignal/emitSignal;
+utility/SignalProbe.cpp:77-78 registerProbe).
+
+Runtime model: single-threaded cooperative executor (see topology.py) calls
+``work()`` whenever a block has sufficient input or pending messages. Blocks
+read ``self.input(p).buffer()`` (a numpy view of queued samples), run their
+**functional core** (a pure jitted JAX function — the TPU compute path), and
+``consume``/``post`` results. Heavy chains bypass ports entirely via the
+fused-chain compiler in :mod:`pothoscomms_tpu.parallel`.
+
+Label index contract:
+- labels presented on an input port are indexed relative to the front of
+  the currently unconsumed buffer;
+- labels posted on an output port are indexed relative to the first element
+  produced by the current ``work()`` call.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from pothoscomms_tpu.core.dtypes import DType
+from pothoscomms_tpu.core.labels import Label
+from pothoscomms_tpu.core.packet import Packet
+
+
+def _np_concat(parts: List[np.ndarray]) -> np.ndarray:
+    if len(parts) == 1:
+        return parts[0]
+    return np.concatenate(parts, axis=0)
+
+
+class InputPort:
+    def __init__(self, block: "Block", name: str, dtype: Optional[DType]):
+        self.block = block
+        self.name = name
+        self.dtype = DType.parse(dtype) if dtype is not None else None
+        self._parts: List[np.ndarray] = []
+        self._elements = 0
+        self.labels: List[Label] = []
+        self._messages: collections.deque = collections.deque()
+        self.reserve = 0
+        self.total_consumed = 0
+        self._consumed_this_work = 0
+        # upstream output port, set on connect (for introspection)
+        self.upstream: Optional["OutputPort"] = None
+
+    # -- data ----------------------------------------------------------- #
+    def elements(self) -> int:
+        return self._elements
+
+    def buffer(self, n: Optional[int] = None) -> np.ndarray:
+        """A contiguous view of the first ``n`` (default: all) queued
+        elements. Does not consume."""
+        if not self._parts:
+            shape = (0,) + (self.dtype.storage_shape_suffix if self.dtype else ())
+            base = self.dtype.np if self.dtype else np.float32
+            return np.zeros(shape, dtype=base)
+        if len(self._parts) > 1:
+            self._parts = [_np_concat(self._parts)]
+        buf = self._parts[0]
+        return buf if n is None else buf[:n]
+
+    def consume(self, n: int) -> None:
+        if n == 0:
+            return
+        assert n <= self._elements, f"consume({n}) > available {self._elements}"
+        buf = self.buffer()
+        self._parts = [buf[n:]] if n < self._elements else []
+        self._elements -= n
+        self.total_consumed += n
+        self._consumed_this_work += n
+        # split labels: consumed ones go to propagation, rest re-base
+        consumed, kept = [], []
+        for lb in self.labels:
+            (consumed if lb.index < n else kept).append(lb)
+        self.labels = [lb.shifted(-n) for lb in kept]
+        if consumed:
+            self.block._propagate(self, consumed)
+
+    def remove_label(self, label: Label) -> None:
+        self.labels.remove(label)
+
+    def set_reserve(self, n: int) -> None:
+        self.reserve = n
+
+    # -- messages ------------------------------------------------------- #
+    def has_message(self) -> bool:
+        return len(self._messages) > 0
+
+    def pop_message(self) -> Any:
+        return self._messages.popleft()
+
+    def push_message(self, msg: Any) -> None:
+        self._messages.append(msg)
+
+    # -- feeding (called by upstream/executor) --------------------------- #
+    def push_buffer(self, arr: np.ndarray, labels: Optional[List[Label]] = None):
+        arr = np.asarray(arr)
+        if labels:
+            off = self._elements
+            self.labels.extend(lb.shifted(off) for lb in labels)
+        if arr.shape[0]:
+            self._parts.append(arr)
+            self._elements += int(arr.shape[0])
+
+    def push_label(self, label: Label) -> None:
+        """Label indexed relative to the end of currently queued data."""
+        self.labels.append(label.shifted(self._elements))
+
+
+class OutputPort:
+    def __init__(self, block: "Block", name: str, dtype: Optional[DType]):
+        self.block = block
+        self.name = name
+        self.dtype = DType.parse(dtype) if dtype is not None else None
+        self.downstream: List[InputPort] = []
+        self.total_produced = 0
+        self._produced_this_work = 0
+
+    def connect(self, port: InputPort) -> None:
+        self.downstream.append(port)
+        port.upstream = self
+
+    # -- posting -------------------------------------------------------- #
+    def post(self, arr: np.ndarray, labels: Optional[List[Label]] = None) -> None:
+        """Produce ``arr`` with labels indexed relative to arr start."""
+        arr = np.asarray(arr)
+        n = int(arr.shape[0])
+        for port in self.downstream:
+            port.push_buffer(arr, labels)
+        self.total_produced += n
+        self._produced_this_work += n
+
+    def post_label(self, label: Label) -> None:
+        """Label indexed relative to the first element produced by the
+        current work() call."""
+        adj = label.shifted(-self._produced_this_work)
+        for port in self.downstream:
+            port.push_label(adj)
+
+    def post_message(self, msg: Any) -> None:
+        for port in self.downstream:
+            port.push_message(msg)
+
+
+class WorkInfo:
+    def __init__(self, block: "Block"):
+        ins = [p.elements() for p in block.inputs.values()]
+        outs: List[int] = []
+        self.min_in_elements = min(ins) if ins else 0
+        self.min_elements = self.min_in_elements
+        self.min_all_elements = self.min_in_elements
+
+
+_CAMEL_RE = re.compile(r"(?<!^)(?=[A-Z])")
+
+
+def _snake(name: str) -> str:
+    return _CAMEL_RE.sub("_", name).lower()
+
+
+class Block:
+    """Base class for all processing blocks."""
+
+    def __init__(self, name: Optional[str] = None):
+        self.name = name or type(self).__name__
+        self.inputs: Dict[str, InputPort] = {}
+        self.outputs: Dict[str, OutputPort] = {}
+        self._signals: Dict[str, List] = {}  # name -> [(block, slot_name)]
+        self._probes: Dict[str, str] = {}
+        self._active = False
+        self._topology = None
+        # True for blocks that generate data forever (waveform/noise
+        # sources); the executor meters these via a production quota.
+        self.unbounded_source = False
+        self._source_quota = 0
+
+    # -- port setup (reference: setupInput/setupOutput) ------------------ #
+    def setup_input(self, name, dtype=None) -> InputPort:
+        name = str(name)
+        port = InputPort(self, name, dtype)
+        self.inputs[name] = port
+        return port
+
+    def setup_output(self, name, dtype=None) -> OutputPort:
+        name = str(name)
+        port = OutputPort(self, name, dtype)
+        self.outputs[name] = port
+        return port
+
+    def input(self, name) -> InputPort:
+        return self.inputs[str(name)]
+
+    def output(self, name) -> OutputPort:
+        return self.outputs[str(name)]
+
+    # -- calls / signals / slots / probes -------------------------------- #
+    def call(self, name: str, *args):
+        """Invoke a registered call by reference-style camelCase name or
+        python snake_case name (reference: registerCall/registerCallable)."""
+        fn = getattr(self, name, None) or getattr(self, _snake(name), None)
+        if fn is None or not callable(fn):
+            raise AttributeError(f"{self.name} has no call {name!r}")
+        return fn(*args)
+
+    def register_signal(self, name: str) -> None:
+        self._signals.setdefault(name, [])
+
+    def emit_signal(self, name: str, *args) -> None:
+        for (blk, slot) in self._signals.get(name, ()):
+            blk.call(slot, *args)
+
+    def connect_signal(self, name: str, block: "Block", slot: str) -> None:
+        self._signals.setdefault(name, []).append((block, slot))
+
+    def register_probe(self, name: str, getter: Optional[str] = None) -> None:
+        """Expose getter ``name`` as probe: ``probe<Name>()`` evaluates and
+        emits ``<name>Triggered(value)`` (reference: registerProbe,
+        utility/SignalProbe.cpp:77-78)."""
+        self._probes[name] = getter or name
+        self.register_signal(name + "Triggered")
+
+    def probe(self, name: str):
+        value = self.call(self._probes[name])
+        self.emit_signal(name + "Triggered", value)
+        return value
+
+    # -- lifecycle -------------------------------------------------------- #
+    def activate(self) -> None:  # override
+        pass
+
+    def deactivate(self) -> None:  # override
+        pass
+
+    def is_active(self) -> bool:
+        return self._active
+
+    # -- work ------------------------------------------------------------- #
+    def work(self) -> None:  # override
+        pass
+
+    def work_info(self) -> WorkInfo:
+        return WorkInfo(self)
+
+    def wants_work(self) -> bool:
+        """Scheduler hint: does this block plausibly have something to do?"""
+        if self.unbounded_source:
+            return self._source_quota > 0
+        if not self.inputs:  # finite source: override wants_work/work
+            return False
+        for p in self.inputs.values():
+            if p.has_message():
+                return True
+            if p.elements() > 0 and p.elements() >= p.reserve:
+                return True
+        return False
+
+    # -- label propagation ------------------------------------------------ #
+    def _propagate(self, port: InputPort, labels: List[Label]) -> None:
+        self.propagate_labels(port, labels)
+
+    def propagate_labels(self, port: InputPort, labels: List[Label]) -> None:
+        """Default: forward each consumed label to every output port at the
+        same relative index (reference: Pothos default propagateLabels)."""
+        for out in self.outputs.values():
+            for lb in labels:
+                out.post_label(lb)
+
+    def __repr__(self):
+        return f"<{type(self).__name__} {self.name}>"

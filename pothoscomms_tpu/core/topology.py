@@ -1,0 +1,158 @@
+"""Topology: block graph + cooperative streaming executor.
+
+TPU-native equivalent of ``Pothos::Topology`` plus the scheduler loop of the
+Pothos core framework (reference: every test builds one, e.g.
+filter/TestFIRDesigner.cpp:147-178 — connect, commit, waitInactive).
+
+Differences from the reference (deliberate, TPU-first):
+
+- The reference runs one actor thread per block; we run a single-threaded
+  cooperative loop. TPU throughput does not come from host threads — it
+  comes from the functional cores being fused/jitted; the executor only
+  moves host-side buffers and control messages between device calls. For
+  the high-rate path, chains of blocks are compiled into ONE jitted program
+  by the fused-chain compiler (pothoscomms_tpu/parallel/), so the executor
+  granularity is irrelevant to hot-loop performance.
+- Backpressure: the reference uses bounded buffer managers; we use
+  run-to-quiescence scheduling with per-port ``reserve`` gating, plus
+  production quotas for unbounded sources.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, List, Optional, Tuple, Union
+
+from pothoscomms_tpu.core.block import Block, InputPort, OutputPort
+
+
+class Topology:
+    def __init__(self, name: str = "topology"):
+        self.name = name
+        self.blocks: List[Block] = []
+        self._committed = False
+
+    # ------------------------------------------------------------------ #
+    # Graph construction
+    # ------------------------------------------------------------------ #
+    def _register(self, blk: Block) -> None:
+        if blk not in self.blocks:
+            self.blocks.append(blk)
+            blk._topology = self
+
+    def connect(self, src: Block, src_port, dst: Block, dst_port) -> None:
+        """Connect a stream edge or a signal→slot edge.
+
+        If ``src_port`` names a registered signal of ``src``, the edge is a
+        signal/slot wire (reference: filter/TestFIRDesigner.cpp:173
+        ``connect(designer, "tapsChanged", filter, "setTaps")``); otherwise
+        it is a stream edge between output and input ports.
+        """
+        self._register(src)
+        self._register(dst)
+        sname = str(src_port)
+        if sname in src._signals:
+            src.connect_signal(sname, dst, str(dst_port))
+            return
+        out = src.output(sname)
+        inp = dst.input(str(dst_port))
+        if out.dtype is not None and inp.dtype is not None:
+            if out.dtype.np != inp.dtype.np or out.dtype.storage_shape_suffix != inp.dtype.storage_shape_suffix:
+                raise ValueError(
+                    f"dtype mismatch on {src.name}[{sname}] ({out.dtype}) -> "
+                    f"{dst.name}[{dst_port}] ({inp.dtype})"
+                )
+        out.connect(inp)
+
+    # ------------------------------------------------------------------ #
+    # Lifecycle
+    # ------------------------------------------------------------------ #
+    def commit(self) -> None:
+        """Activate all blocks (reference: Topology::commit())."""
+        if not self._committed:
+            for blk in self.blocks:
+                blk._active = True
+                blk.activate()
+            self._committed = True
+
+    def uncommit(self) -> None:
+        if self._committed:
+            for blk in self.blocks:
+                blk.deactivate()
+                blk._active = False
+            self._committed = False
+
+    def __enter__(self):
+        self.commit()
+        return self
+
+    def __exit__(self, *exc):
+        self.uncommit()
+
+    # ------------------------------------------------------------------ #
+    # Execution
+    # ------------------------------------------------------------------ #
+    def _state_fingerprint(self) -> Tuple[int, int, int, int]:
+        consumed = produced = msgs = quota = 0
+        for blk in self.blocks:
+            quota += blk._source_quota
+            for p in blk.inputs.values():
+                consumed += p.total_consumed
+                msgs += len(p._messages)
+            for o in blk.outputs.values():
+                produced += o.total_produced
+        return (consumed, produced, msgs, quota)
+
+    def _run_once(self) -> bool:
+        """One scheduling round over all blocks; True if any progress."""
+        before = self._state_fingerprint()
+        for blk in self.blocks:
+            if not blk.wants_work():
+                continue
+            for p in blk.inputs.values():
+                p._consumed_this_work = 0
+            for o in blk.outputs.values():
+                o._produced_this_work = 0
+            blk.work()
+        return self._state_fingerprint() != before
+
+    def wait_inactive(self, timeout: float = 10.0, idle: float = 0.0) -> bool:
+        """Run the graph to quiescence (reference: Topology::waitInactive,
+        used as the universal test completion barrier —
+        math/TestArithmeticBlocks.cpp:538).
+
+        Returns True if the graph became idle within the timeout.
+
+        ``timeout`` bounds the time spent *without forward progress* — a
+        scheduling round that consumed/produced data resets the deadline.
+        (Wall-clock would be wrong on TPU: the first work() of each block
+        blocks on XLA compilation, which can exceed any reasonable idle
+        timeout; that is activity, not quiescence.)
+        """
+        self.commit()
+        deadline = time.monotonic() + timeout
+        while True:
+            progressed = self._run_once()
+            if progressed:
+                deadline = time.monotonic() + timeout
+                continue
+            # give timer-driven blocks (e.g. LLC monitor) a chance
+            fired = any(
+                getattr(blk, "poll_timers", lambda: False)()
+                for blk in self.blocks
+            )
+            if not fired:
+                return True
+            if time.monotonic() > deadline:
+                return False
+
+    def run_source_elements(self, n: int) -> None:
+        """Grant every unbounded source a quota of ~n elements, then run to
+        quiescence. This is how tests drive waveform/noise sources, standing
+        in for the reference's free-running scheduler + sleep pattern
+        (reference: filter/TestFIRFilter.cpp:19-59)."""
+        self.commit()
+        for blk in self.blocks:
+            if blk.unbounded_source:
+                blk._source_quota = n
+        self.wait_inactive()
