@@ -8,3 +8,9 @@ module directory.
 import pothoscomms_tpu.core.fixtures  # noqa: F401  test fixture blocks
 
 from pothoscomms_tpu.blocks import math  # noqa: F401
+from pothoscomms_tpu.blocks import sources  # noqa: F401
+from pothoscomms_tpu.blocks import fft  # noqa: F401
+from pothoscomms_tpu.blocks import filter  # noqa: F401
+from pothoscomms_tpu.blocks import window  # noqa: F401
+from pothoscomms_tpu.blocks import utility  # noqa: F401
+from pothoscomms_tpu.blocks import digital  # noqa: F401

@@ -1,0 +1,648 @@
+"""Digital symbol-coding blocks (reference: digital/ module, SURVEY.md §2.4).
+
+Conversion blocks (bits/symbols/bytes), mapper/slicer, differential
+coding, scrambler/descrambler (Galois LFSR), bitwise ops, byte order.
+Framing/sync blocks live in blocks/framing.py.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from pothoscomms_tpu.core.block import Block
+from pothoscomms_tpu.core.dtypes import DType
+from pothoscomms_tpu.core.labels import Label
+from pothoscomms_tpu.core.packet import Packet
+from pothoscomms_tpu.core.registry import register_block
+from pothoscomms_tpu.ops import bits as bops
+
+
+class _ConversionBlock(Block):
+    """Shared shape of the four uchar conversion blocks: width ('modulus')
+    in [1,8], bit order, stream work in aligned groups, packet msgWork,
+    label index rescale (reference: digital/BitsToSymbols.cpp et al.)."""
+
+    in_unit = 1   # input elements per conversion unit
+    out_unit = 1  # output elements per conversion unit
+    label_mul = 1
+    label_div = 1
+
+    def __init__(self):
+        super().__init__()
+        self.setup_input(0, DType.parse("uint8"))
+        self.setup_output(0, DType.parse("uint8"))
+        self._mod = 1
+        self._order = "LSBit"
+
+    def get_modulus(self) -> int:
+        return self._mod
+
+    def set_modulus(self, mod: int):
+        if not (1 <= mod <= 8):
+            raise ValueError("Modulus must be between 1 and 8 inclusive")
+        self._mod = int(mod)
+        self._update_units()
+
+    def get_bit_order(self) -> str:
+        return self._order
+
+    def set_bit_order(self, order: str):
+        if order not in ("LSBit", "MSBit"):
+            raise ValueError("Order must be LSBit or MSBit")
+        self._order = order
+
+    def _update_units(self):
+        pass
+
+    def _convert(self, data: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def _packet_units(self, payload_len: int) -> int:
+        """Units to process for a packet payload (rounded up)."""
+        return (payload_len + self.in_unit - 1) // self.in_unit
+
+    def work(self):
+        port = self.input(0)
+        out = self.output(0)
+        port.set_reserve(self.in_unit)
+        if port.has_message():
+            msg = port.pop_message()
+            if isinstance(msg, Packet):
+                units = self._packet_units(len(msg.payload))
+                data = np.zeros(units * self.in_unit, np.uint8)
+                data[: len(msg.payload)] = np.asarray(msg.payload, np.uint8)
+                result = self._convert(data)
+                labels = [lb.to_adjusted(self.label_mul, self.label_div)
+                          for lb in msg.labels]
+                out.post_message(
+                    Packet(result, labels=labels, metadata=dict(msg.metadata))
+                )
+            else:
+                out.post_message(msg)
+            return
+        n_units = port.elements() // self.in_unit
+        if n_units == 0:
+            return
+        data = np.asarray(port.buffer(n_units * self.in_unit))
+        result = self._convert(data)
+        port.consume(n_units * self.in_unit)
+        out.post(result)
+
+    def propagate_labels(self, port, labels):
+        out = self.output(0)
+        for lb in labels:
+            out.post_label(lb.to_adjusted(self.label_mul, self.label_div))
+
+
+@register_block("/comms/bits_to_symbols", "/blocks/bits_to_symbols")
+class BitsToSymbols(_ConversionBlock):
+    """Pack bits into width-N symbols (reference: digital/BitsToSymbols.cpp)."""
+
+    def __init__(self, mod: int = 1, order: str = "LSBit"):
+        super().__init__()
+        self.set_modulus(mod)
+        self.set_bit_order(order)
+
+    def _update_units(self):
+        self.in_unit = self._mod
+        self.out_unit = 1
+        self.label_mul, self.label_div = 1, self._mod
+
+    def _convert(self, data):
+        return bops.bits_to_symbols(data, self._mod, self._order)
+
+
+@register_block("/comms/symbols_to_bits", "/blocks/symbols_to_bits")
+class SymbolsToBits(_ConversionBlock):
+    """Unpack width-N symbols into bits (reference: digital/SymbolsToBits.cpp)."""
+
+    def __init__(self, mod: int = 1, order: str = "LSBit"):
+        super().__init__()
+        self.set_modulus(mod)
+        self.set_bit_order(order)
+
+    def _update_units(self):
+        self.in_unit = 1
+        self.out_unit = self._mod
+        self.label_mul, self.label_div = self._mod, 1
+
+    def _convert(self, data):
+        return bops.symbols_to_bits(data, self._mod, self._order)
+
+
+@register_block("/comms/symbols_to_bytes", "/blocks/symbols_to_bytes")
+class SymbolsToBytes(_ConversionBlock):
+    """Pack width-N symbols into bytes (reference: digital/SymbolsToBytes.cpp;
+    group granularity :74-78)."""
+
+    def __init__(self, mod: int = 1, order: str = "LSBit"):
+        super().__init__()
+        self.set_modulus(mod)
+        self.set_bit_order(order)
+
+    def _update_units(self):
+        self.in_unit = bops.group_symbols(self._mod)
+        self.out_unit = (self.in_unit * self._mod) // 8
+        self.label_mul, self.label_div = self._mod, 8
+
+    def _convert(self, data):
+        return bops.symbols_to_bytes(data, self._mod, self._order)
+
+
+@register_block("/comms/bytes_to_symbols", "/blocks/bytes_to_symbols")
+class BytesToSymbols(_ConversionBlock):
+    """Unpack bytes into width-N symbols (reference:
+    digital/BytesToSymbols.cpp; reserve groups :69-76)."""
+
+    def __init__(self, mod: int = 1, order: str = "LSBit"):
+        super().__init__()
+        self.set_modulus(mod)
+        self.set_bit_order(order)
+
+    def _update_units(self):
+        self.in_unit = bops.group_bytes(self._mod)
+        self.out_unit = (self.in_unit * 8) // self._mod
+        self.label_mul, self.label_div = 8, self._mod
+
+    def _convert(self, data):
+        return bops.bytes_to_symbols(data, self._mod, self._order)
+
+
+# ---------------------------------------------------------------------- #
+# Symbol mapper / slicer (reference: digital/SymbolMapper.cpp,
+# digital/SymbolSlicer.cpp)
+# ---------------------------------------------------------------------- #
+@register_block("/comms/symbol_mapper", "/blocks/symbol_mapper")
+class SymbolMapper(Block):
+    """uchar symbol index -> constellation point via power-of-2 LUT."""
+
+    def __init__(self, dtype="complex_float32"):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        self.setup_input(0, DType.parse("uint8"))
+        self.setup_output(0, self.dtype)
+        self.set_map([1])
+
+    def get_map(self):
+        return self._map
+
+    def set_map(self, symbol_map):
+        symbol_map = np.asarray(symbol_map)
+        if symbol_map.size == 0:
+            raise ValueError("Map must be nonzero size")
+        nbits = np.log2(symbol_map.size)
+        if nbits != int(nbits):
+            raise ValueError("Map must be a power of two in length")
+        if self.dtype.is_complex_int:
+            table = np.stack(
+                [np.real(symbol_map), np.imag(symbol_map)], axis=-1
+            ).astype(self.dtype.scalar.np)
+        elif self.dtype.is_complex:
+            table = symbol_map.astype(self.dtype.np)
+        else:
+            table = np.real(symbol_map).astype(self.dtype.np)
+        self._map = symbol_map
+        self._table = table
+        self._mask = symbol_map.size - 1
+
+    def work(self):
+        port = self.input(0)
+        n = port.elements()
+        if n == 0:
+            return
+        idx = np.asarray(port.buffer(n)) & self._mask
+        port.consume(n)
+        self.output(0).post(self._table[idx])
+
+
+@register_block("/comms/symbol_slicer", "/blocks/symbol_slicer")
+class SymbolSlicer(Block):
+    """Nearest-neighbor constellation decision -> uchar index
+    (squared-euclidean brute force, reference: SymbolSlicer.cpp:78-100)."""
+
+    def __init__(self, dtype="complex_float32"):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, DType.parse("uint8"))
+        self.set_map([1])
+
+    def get_map(self):
+        return self._map
+
+    def set_map(self, symbol_map):
+        symbol_map = np.asarray(symbol_map)
+        if symbol_map.size == 0:
+            raise ValueError("Map must be nonzero size")
+        self._map = symbol_map
+        self._points = symbol_map.astype(np.complex128) if \
+            np.iscomplexobj(symbol_map) or self.dtype.is_complex else \
+            symbol_map.astype(np.float64)
+
+    def work(self):
+        port = self.input(0)
+        n = port.elements()
+        if n == 0:
+            return
+        buf = np.asarray(port.buffer(n))
+        if self.dtype.is_complex_int:
+            x = buf[..., 0].astype(np.float64) + 1j * buf[..., 1].astype(np.float64)
+        elif self.dtype.is_complex:
+            x = buf.astype(np.complex128)
+        else:
+            x = buf.astype(np.float64)
+        d = np.abs(x[:, None] - np.asarray(self._points)[None, :]) ** 2
+        out = np.argmin(d, axis=1).astype(np.uint8)
+        port.consume(n)
+        self.output(0).post(out)
+
+
+# ---------------------------------------------------------------------- #
+# Differential coding (reference: digital/DifferentialEncoder.cpp,
+# digital/DifferentialDecoder.cpp)
+# ---------------------------------------------------------------------- #
+@register_block("/comms/differential_encoder", "/blocks/differential_encoder")
+class DifferentialEncoder(Block):
+    def __init__(self):
+        super().__init__()
+        self.setup_input(0, DType.parse("uint8"))
+        self.setup_output(0, DType.parse("uint8"))
+        self._last = 0
+        self._symbols = 2
+
+    def set_symbols(self, symbols: int):
+        self._symbols = int(symbols)
+
+    def work(self):
+        port = self.input(0)
+        n = port.elements()
+        if n == 0:
+            return
+        x = np.asarray(port.buffer(n)).astype(np.int64)
+        # recursion out[i] = (in[i] + out[i-1]) % N telescopes to a
+        # cumulative sum mod N — exact, vectorized
+        out = (np.cumsum(x) + self._last) % self._symbols
+        self._last = int(out[-1])
+        port.consume(n)
+        self.output(0).post(out.astype(np.uint8))
+
+
+@register_block("/comms/differential_decoder", "/blocks/differential_decoder")
+class DifferentialDecoder(Block):
+    def __init__(self):
+        super().__init__()
+        self.setup_input(0, DType.parse("uint8"))
+        self.setup_output(0, DType.parse("uint8"))
+        self._last = 0
+        self._symbols = 2
+
+    def set_symbols(self, symbols: int):
+        self._symbols = int(symbols)
+
+    def work(self):
+        port = self.input(0)
+        n = port.elements()
+        if n == 0:
+            return
+        x = np.asarray(port.buffer(n)).astype(np.int64)
+        prev = np.concatenate([[self._last], x[:-1]])
+        # C semantics: (recv - last + N) evaluated in uint32
+        # (reference DifferentialDecoder.cpp:62-65)
+        out = ((x - prev + self._symbols) % (1 << 32)) % self._symbols
+        self._last = int(x[-1])
+        port.consume(n)
+        self.output(0).post(out.astype(np.uint8))
+
+
+# ---------------------------------------------------------------------- #
+# Galois LFSR scrambler/descrambler (reference: digital/Scrambler.cpp,
+# digital/Descrambler.cpp, vendored digital/lfsr.h)
+# ---------------------------------------------------------------------- #
+class GaloisLFSR:
+    """Galois LFSR (reference digital/lfsr.h:64-100): mask = highest set
+    bit of the polynomial; each step shifts left and xors the polynomial
+    (with implicit +1 term) when the mask bit fires."""
+
+    MASK64 = (1 << 64) - 1
+
+    def __init__(self, polynomial: int, seed: int):
+        self.poly = (polynomial | 1) & self.MASK64
+        self.mask = 0
+        p = polynomial & self.MASK64
+        for shift in range(63, -1, -1):
+            if p & (1 << shift):
+                self.mask = 1 << shift
+                break
+        self.data = seed & self.MASK64
+
+    def next(self) -> int:
+        self.data = (self.data << 1) & self.MASK64
+        if self.data & self.mask:
+            self.data ^= self.poly
+            return 1
+        return 0
+
+    def keystream(self, n: int) -> np.ndarray:
+        out = np.empty(n, np.uint8)
+        data, mask, poly = self.data, self.mask, self.poly
+        for i in range(n):
+            data = (data << 1) & self.MASK64
+            if data & mask:
+                data ^= poly
+                out[i] = 1
+            else:
+                out[i] = 0
+        self.data = data
+        return out
+
+
+class _ScramblerBase(Block):
+    def __init__(self):
+        super().__init__()
+        self.setup_input(0, DType.parse("uint8"))
+        self.setup_output(0, DType.parse("uint8"))
+        self._poly = 1
+        self._seed = 1
+        self._mode = "multiplicative"
+        self._sync_word = ""
+        self._lfsr = GaloisLFSR(1, 1)
+        self.set_mode("multiplicative")
+        self.set_sync("")
+        self.set_poly(0x19)
+
+    def set_poly(self, polynomial: int):
+        self._poly = int(polynomial)
+        self._lfsr = GaloisLFSR(self._poly, self._seed)
+
+    def poly(self) -> int:
+        return self._poly
+
+    def set_seed(self, seed: int):
+        self._seed = int(seed)
+        self._lfsr = GaloisLFSR(self._poly, self._seed)
+
+    def seed(self) -> int:
+        return self._seed
+
+    def set_mode(self, mode: str):
+        if mode not in ("additive", "multiplicative"):
+            raise ValueError(f"unknown mode: {mode}")
+        self._mode = mode
+
+    def mode(self) -> str:
+        return self._mode
+
+    def set_sync(self, sync_word: str):
+        if len(sync_word) > 64:
+            raise ValueError("sync word max len 64 bits")
+        if any(c not in "01" for c in sync_word):
+            raise ValueError("sync word must be 0s and 1s: " + sync_word)
+        self._sync_word = sync_word
+
+    def sync(self) -> str:
+        return self._sync_word
+
+
+@register_block("/comms/scrambler", "/blocks/scrambler")
+class Scrambler(_ScramblerBase):
+    def work(self):
+        port = self.input(0)
+        n = port.elements()
+        if n == 0:
+            return
+        x = (np.asarray(port.buffer(n)) & 1).astype(np.uint8)
+        if self._mode == "additive":
+            ks = self._lfsr.keystream(n)
+            out = x ^ ks
+        else:
+            # multiplicative: output bit becomes lfsr bit0 (recursive)
+            out = np.empty(n, np.uint8)
+            lf = self._lfsr
+            for i in range(n):
+                o = x[i] ^ lf.next()
+                lf.data = (lf.data & ~1) | int(o)
+                out[i] = o
+        port.consume(n)
+        self.output(0).post(out)
+
+
+@register_block("/comms/descrambler", "/blocks/descrambler")
+class Descrambler(_ScramblerBase):
+    def work(self):
+        port = self.input(0)
+        n = port.elements()
+        if n == 0:
+            return
+        x = (np.asarray(port.buffer(n)) & 1).astype(np.uint8)
+        if self._mode == "additive":
+            ks = self._lfsr.keystream(n)
+            out = x ^ ks
+        else:
+            # multiplicative descrambler: INPUT bit becomes lfsr bit0 —
+            # self-synchronizing (reference Descrambler.cpp:141-151)
+            out = np.empty(n, np.uint8)
+            lf = self._lfsr
+            for i in range(n):
+                o = x[i] ^ lf.next()
+                lf.data = (lf.data & ~1) | int(x[i])
+                out[i] = o
+        port.consume(n)
+        self.output(0).post(out)
+
+
+# ---------------------------------------------------------------------- #
+# Bitwise ops (reference: digital/Bitwise.cpp)
+# ---------------------------------------------------------------------- #
+def _int_dtype(dtype) -> DType:
+    dt = DType.parse(dtype)
+    if not dt.is_integer or dt.is_complex:
+        raise ValueError("bitwise blocks support integer dtypes only")
+    return dt
+
+
+@register_block("/comms/bitwise_unary")
+def bitwise_unary_factory(dtype, operation: str = "NOT"):
+    dt = _int_dtype(dtype)
+    if operation != "NOT":
+        raise ValueError(f"unknown unary operation {operation}")
+
+    class _Not(Block):
+        def __init__(self):
+            super().__init__()
+            self.dtype = dt
+            self.setup_input(0, dt)
+            self.setup_output(0, dt)
+
+        def work(self):
+            port = self.input(0)
+            n = port.elements()
+            if n == 0:
+                return
+            out = ~np.asarray(port.buffer(n))
+            port.consume(n)
+            self.output(0).post(out)
+
+    return _Not()
+
+
+_BITWISE_BINOPS = {
+    "AND": np.bitwise_and,
+    "OR": np.bitwise_or,
+    "XOR": np.bitwise_xor,
+}
+
+
+@register_block("/comms/bitwise_binary")
+def bitwise_binary_factory(dtype, operation: str = "AND", num_channels: int = 2):
+    dt = _int_dtype(dtype)
+    if operation not in _BITWISE_BINOPS:
+        raise ValueError(f"unknown binary operation {operation}")
+    if num_channels < 2:
+        raise ValueError("numChannels must be >= 2")
+    fcn = _BITWISE_BINOPS[operation]
+
+    class _Bin(Block):
+        def __init__(self):
+            super().__init__()
+            self.dtype = dt
+            for i in range(num_channels):
+                self.setup_input(i, dt)
+            self.setup_output(0, dt)
+
+        def work(self):
+            ports = list(self.inputs.values())
+            n = min(p.elements() for p in ports)
+            if n == 0:
+                return
+            acc = np.asarray(ports[0].buffer(n))
+            for p in ports[1:]:
+                acc = fcn(acc, np.asarray(p.buffer(n)))
+            for p in ports:
+                p.consume(n)
+            self.output(0).post(acc)
+
+    return _Bin()
+
+
+@register_block("/comms/const_bitwise_binary")
+def const_bitwise_binary_factory(dtype, constant=0, operation: str = "AND"):
+    dt = _int_dtype(dtype)
+    if operation not in _BITWISE_BINOPS:
+        raise ValueError(f"unknown binary operation {operation}")
+    fcn = _BITWISE_BINOPS[operation]
+
+    class _ConstBin(Block):
+        def __init__(self):
+            super().__init__()
+            self.dtype = dt
+            self.setup_input(0, dt)
+            self.setup_output(0, dt)
+            self.set_constant(constant)
+
+        def set_constant(self, c):
+            self._const = np.asarray(c, dt.np)
+
+        def constant(self):
+            return self._const[()]
+
+        def work(self):
+            port = self.input(0)
+            n = port.elements()
+            if n == 0:
+                return
+            out = fcn(np.asarray(port.buffer(n)), self._const)
+            port.consume(n)
+            self.output(0).post(out)
+
+    return _ConstBin()
+
+
+@register_block("/comms/bitshift")
+def bitshift_factory(dtype, operation: str = "LEFTSHIFT", shift_size: int = 0):
+    dt = _int_dtype(dtype)
+    if operation not in ("LEFTSHIFT", "RIGHTSHIFT"):
+        raise ValueError(f"unknown shift operation {operation}")
+    left = operation == "LEFTSHIFT"
+
+    class _Shift(Block):
+        def __init__(self):
+            super().__init__()
+            self.dtype = dt
+            self.setup_input(0, dt)
+            self.setup_output(0, dt)
+            self.set_shift_size(shift_size)
+
+        def set_shift_size(self, s: int):
+            if s >= dt.bits:
+                raise ValueError("shift size must be < dtype width")
+            self._shift = int(s)
+
+        def shift_size(self) -> int:
+            return self._shift
+
+        def work(self):
+            port = self.input(0)
+            n = port.elements()
+            if n == 0:
+                return
+            x = np.asarray(port.buffer(n))
+            out = (x << self._shift) if left else (x >> self._shift)
+            port.consume(n)
+            self.output(0).post(out.astype(dt.np))
+
+    return _Shift()
+
+
+# ---------------------------------------------------------------------- #
+# Byte order (reference: digital/ByteOrder.cpp + ByteOrder.hpp)
+# ---------------------------------------------------------------------- #
+_BYTE_ORDER_OPTS = ("Swap Order", "Big Endian", "Little Endian",
+                    "Network to Host", "Host to Network")
+
+
+@register_block("/comms/byte_order")
+class ByteOrderBlock(Block):
+    """Endian swap of each element; float/double via uint reinterpret,
+    complex componentwise (reference: digital/ByteOrder.hpp:25-115)."""
+
+    def __init__(self, dtype="uint32"):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        if self.dtype.bits == 8 and not self.dtype.is_complex:
+            raise ValueError("byte_order requires multi-byte elements")
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, self.dtype)
+        self._order = "Swap Order"
+
+    def set_byte_order(self, order: str):
+        if order not in _BYTE_ORDER_OPTS:
+            raise ValueError(f"invalid byte order {order!r}")
+        self._order = order
+
+    def get_byte_order(self) -> str:
+        return self._order
+
+    def _should_swap(self) -> bool:
+        host_le = sys.byteorder == "little"
+        o = self._order
+        if o == "Swap Order":
+            return True
+        if o == "Big Endian":
+            return host_le
+        if o == "Little Endian":
+            return not host_le
+        # network order is big endian
+        return host_le
+
+    def work(self):
+        port = self.input(0)
+        n = port.elements()
+        if n == 0:
+            return
+        buf = np.asarray(port.buffer(n))
+        out = buf.byteswap() if self._should_swap() else buf.copy()
+        port.consume(n)
+        self.output(0).post(out)

@@ -1,0 +1,108 @@
+"""FFT block (reference: fft/ module, SURVEY.md §2.2).
+
+Scaling contract (from the reference's kissfft configuration and tests):
+
+- complex float forward: plain DFT, numpy semantics (fft/TestFFT.cpp:13-29).
+- complex float inverse: UNnormalized — round-trip gains a factor of N
+  (fft/TestFFT.cpp:79-80 checks ifft(fft(x)) == x*N), matching kissfft.
+- complex int16 (FIXED_POINT=16 kiss_fft, fft/CMakeLists.txt:14-20):
+  forward output is scaled by 1/N (fft/TestFFT.cpp:128-133); inverse is the
+  exactly-normalized inverse DFT (TestFFT.cpp:152-156: ifft(N*scaled) == x).
+
+TPU-first: instead of the reference's one-transform-per-work loop
+(fft/FFT.cpp:61-72), all complete numBins windows queued on the input are
+batched into a single [k, numBins] jnp.fft call — on TPU this is one XLA
+fft op over the batch. The int16 path computes in complex64 (far more
+precise than 16-bit kiss_fft butterflies) and rounds on output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from pothoscomms_tpu.core.block import Block
+from pothoscomms_tpu.core.dtypes import DType
+from pothoscomms_tpu.core.registry import register_block
+
+
+@partial(jax.jit, static_argnames=("inverse",))
+def _fft_float(x, inverse: bool):
+    # x: [k, numBins] complex; inverse is kissfft-style unnormalized
+    if inverse:
+        n = x.shape[-1]
+        return jnp.fft.ifft(x, axis=-1) * n
+    return jnp.fft.fft(x, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("inverse",))
+def _fft_int16(x_ri, inverse: bool):
+    # x_ri: [k, numBins, 2] int16 -> complex64 compute -> rounded int16
+    x = x_ri[..., 0].astype(jnp.float32) + 1j * x_ri[..., 1].astype(jnp.float32)
+    n = x.shape[-1]
+    if inverse:
+        y = jnp.fft.ifft(x, axis=-1)  # includes 1/n: matches TestFFT int16
+    else:
+        y = jnp.fft.fft(x, axis=-1) / n
+    out = jnp.stack([jnp.round(y.real), jnp.round(y.imag)], axis=-1)
+    return out.astype(jnp.int16)
+
+
+@register_block("/comms/fft")
+class FFTBlock(Block):
+    """Forward/inverse complex FFT over numBins-sized windows
+    (reference: fft/FFT.cpp)."""
+
+    def __init__(self, dtype="complex_float32", num_bins: int = 1024,
+                 inverse: bool = False):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        if not self.dtype.is_complex:
+            raise ValueError("fft: complex dtypes only")
+        if self.dtype.is_integer and self.dtype.bits != 16:
+            raise ValueError("fft: integer path supports complex_int16 only "
+                             "(reference FFTAux.h:29-48)")
+        self.num_bins = int(num_bins)
+        self.inverse = bool(inverse)
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, self.dtype)
+        self.input(0).set_reserve(self.num_bins)
+
+    def work(self):
+        port = self.input(0)
+        nb = self.num_bins
+        k = port.elements() // nb
+        if k == 0:
+            return
+        buf = port.buffer(k * nb)
+        on_tpu = jax.default_backend() != "cpu"
+        if self.dtype.is_integer:
+            x = np.asarray(buf).reshape(k, nb, 2)
+            if on_tpu:
+                # no int/complex HLOs on this backend: planar f32 matmul
+                # FFT, then reference scaling + rounding on host
+                from pothoscomms_tpu.parallel.fft import fft_planar
+                y = np.asarray(
+                    fft_planar(jnp.asarray(x, jnp.float32), nb, self.inverse)
+                )
+                y = y / nb  # int16 kiss path scales by 1/N both directions
+                out = np.round(y).astype(np.int16).reshape(k * nb, 2)
+            else:
+                out = np.asarray(_fft_int16(x, self.inverse)).reshape(k * nb, 2)
+        else:
+            x = np.asarray(buf).reshape(k, nb)
+            if on_tpu:
+                from pothoscomms_tpu.parallel import cplx
+                from pothoscomms_tpu.parallel.fft import fft_planar
+                y = fft_planar(jnp.asarray(cplx.to_planar(x)), nb, self.inverse)
+                out = cplx.from_planar(np.asarray(y)).astype(
+                    self.dtype.np
+                ).reshape(k * nb)
+            else:
+                out = np.asarray(
+                    _fft_float(x, self.inverse), dtype=self.dtype.np
+                ).reshape(k * nb)
+        port.consume(k * nb)
+        self.output(0).post(out)

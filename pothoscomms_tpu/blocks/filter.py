@@ -1,0 +1,783 @@
+"""Filter blocks (reference: filter/ module, SURVEY.md §2.3).
+
+/comms/fir_filter, /comms/iir_filter, /comms/dc_removal,
+/comms/envelope_detector plus the event-only designers
+/comms/fir_designer and /comms/iir_designer.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import jax.numpy as jnp
+
+from pothoscomms_tpu.core.block import Block
+from pothoscomms_tpu.core.dtypes import DType
+from pothoscomms_tpu.core.labels import Label
+from pothoscomms_tpu.core.qformat import Q_ACCUMULATOR
+from pothoscomms_tpu.core.registry import register_block
+from pothoscomms_tpu.design import (
+    design_fir,
+    design_complex_fir,
+    design_iir,
+    design_window,
+    remez_estimate_num_taps,
+    remez_estimate_atten,
+    remez_estimate_bw,
+    remez_estimate_weight,
+)
+from pothoscomms_tpu.ops import filter as fops
+from pothoscomms_tpu.ops import fxpt
+
+
+# ---------------------------------------------------------------------- #
+# /comms/fir_filter — polyphase rational resampler
+# (reference: filter/FIRFilter.cpp)
+# ---------------------------------------------------------------------- #
+@register_block("/comms/fir_filter", "/blocks/fir_filter")
+class FIRFilter(Block):
+    """Rational-resampling FIR with Q-format fixed point, burst flushing,
+    and waitTaps gating (reference: filter/FIRFilter.cpp:98-364)."""
+
+    def __init__(self, dtype="complex_float32", taps_type: str = "REAL"):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        taps_type = taps_type.upper()
+        if taps_type not in ("REAL", "COMPLEX"):
+            raise ValueError("tapsType must be REAL or COMPLEX")
+        if taps_type == "COMPLEX" and not self.dtype.is_complex:
+            raise ValueError("complex taps require a complex dtype")
+        if self.dtype.kind == "uint":
+            raise ValueError("unsupported dtype (reference matrix is "
+                             "int/float)")
+        self._complex_taps = taps_type == "COMPLEX"
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, self.dtype)
+        self._M = 1  # decimation
+        self._L = 1  # interpolation
+        self._K = 1
+        self._wait_taps = False
+        self._wait_armed = False
+        self._frame_start_id = ""
+        self._frame_end_id = ""
+        self._eob_samps_left = 0
+        self._taps = np.asarray([1.0])
+        self.set_taps([1.0])
+
+    # -- configuration ---------------------------------------------------- #
+    def set_taps(self, taps):
+        taps = np.asarray(taps)
+        if taps.size == 0:
+            raise ValueError("taps cannot be empty")
+        if self._complex_taps:
+            taps = taps.astype(np.complex128)
+        else:
+            taps = np.real(taps).astype(np.float64)
+        self._taps = taps
+        self._wait_armed = False
+        self._update_internals()
+
+    def get_taps(self):
+        return self._taps
+
+    def set_decimation(self, decim: int):
+        if decim == 0:
+            raise ValueError("decimation cannot be 0")
+        self._M = int(decim)
+        self._update_internals()
+
+    def get_decimation(self) -> int:
+        return self._M
+
+    def set_interpolation(self, interp: int):
+        if interp == 0:
+            raise ValueError("interpolation cannot be 0")
+        self._L = int(interp)
+        self._update_internals()
+
+    def get_interpolation(self) -> int:
+        return self._L
+
+    def set_wait_taps(self, wait: bool):
+        self._wait_taps = bool(wait)
+
+    def get_wait_taps(self) -> bool:
+        return self._wait_taps
+
+    def set_frame_start_id(self, label_id: str):
+        self._frame_start_id = label_id
+
+    def get_frame_start_id(self) -> str:
+        return self._frame_start_id
+
+    def set_frame_end_id(self, label_id: str):
+        self._frame_end_id = label_id
+
+    def get_frame_end_id(self) -> str:
+        return self._frame_end_id
+
+    def _update_internals(self):
+        # polyphase split + Q-format conversion (reference :327-354)
+        self._taps_q, self._K = fops.fir_tap_state(
+            self._taps, self._L, self.dtype, self._complex_taps
+        )
+        self._input_require = self._M + (self._K - 1)
+        if self.dtype.is_float:
+            self._kind = "float"
+            self._half_shift = 0
+            if self.dtype.is_complex and not self._complex_taps:
+                # real taps applied to complex stream: promote to complex
+                self._taps_q = self._taps_q.astype(self.dtype.np)
+        else:
+            qbits = DType.parse(Q_ACCUMULATOR[self.dtype.scalar.name]).bits
+            self._half_shift = qbits // 2
+            if self.dtype.is_complex:
+                self._kind = "cint_ctaps" if self._complex_taps else "cint_rtaps"
+            else:
+                self._kind = "int"
+
+    def activate(self):
+        self._wait_armed = self._wait_taps
+        self._eob_samps_left = 0
+
+    # -- streaming --------------------------------------------------------- #
+    def work(self):
+        if self._wait_armed:
+            return
+        port = self.input(0)
+        available = port.elements()
+        if available == 0:
+            return
+
+        # burst label scan (reference :218-231)
+        if self._eob_samps_left == 0:
+            for lb in sorted(port.labels, key=lambda l: l.index):
+                if self._frame_start_id and lb.id == self._frame_start_id \
+                        and lb.data is not None:
+                    self._eob_samps_left = lb.index + int(lb.data) * lb.width
+                    break
+                if self._frame_end_id and lb.id == self._frame_end_id:
+                    self._eob_samps_left = lb.index + lb.width
+                    break
+
+        flush_mode = False
+        if self._eob_samps_left != 0:
+            if self._eob_samps_left <= available:
+                available = self._eob_samps_left
+                flush_mode = self._eob_samps_left < self._input_require
+            else:
+                port.set_reserve(self._eob_samps_left)
+                return
+        elif available < self._input_require:
+            port.set_reserve(self._input_require)
+            return
+        port.set_reserve(0)
+
+        K, M, L = self._K, self._M, self._L
+        if flush_mode:
+            # zero-padded flush buffer (reference :262-272)
+            buf = np.asarray(port.buffer(available))
+            pad_shape = (K - 1,) + buf.shape[1:]
+            xh = np.concatenate([buf, np.zeros(pad_shape, buf.dtype)])
+            n_in = available
+        else:
+            buf = np.asarray(port.buffer(available))
+            xh = buf
+            n_in = available - (K - 1)
+
+        N = (n_in // M) * M
+        if N == 0:
+            if flush_mode:
+                # burst shorter than one decimation step: drop it to avoid
+                # a stuck tail (the reference would leave it queued forever)
+                port.consume(available)
+                self._eob_samps_left = 0
+            return
+
+        y = fops.polyphase_fir(
+            jnp.asarray(xh[: N + K - 1]), jnp.asarray(self._taps_q),
+            M, L, K, self._kind, self._half_shift,
+        )
+        out = np.asarray(y)
+        if self._kind == "float":
+            out = out.astype(self.dtype.np)
+        elif self._kind == "int":
+            out = out.astype(self.dtype.np)
+        else:
+            out = out.astype(self.dtype.scalar.np)
+
+        if flush_mode:
+            # the zero-padded tail completed the burst: consume it all
+            # (incl. any sub-M remainder the reference would leave stuck)
+            port.consume(available)
+            self._eob_samps_left = 0
+        elif self._eob_samps_left != 0:
+            port.consume(N)
+            self._eob_samps_left -= N
+        else:
+            port.consume(N)  # K-1 history stays queued (reference :305)
+        self.output(0).post(out)
+
+    def propagate_labels(self, port, labels):
+        # rescale indices and rxRate by L/M (reference :311-323)
+        out = self.output(0)
+        for lb in labels:
+            new = lb.to_adjusted(self._L, self._M)
+            if lb.id == "rxRate" and isinstance(lb.data, float):
+                new.data = lb.data * self._L / self._M
+            out.post_label(new)
+
+
+# ---------------------------------------------------------------------- #
+# /comms/iir_filter (reference: filter/IIRFilter.cpp)
+# ---------------------------------------------------------------------- #
+@register_block("/comms/iir_filter", "/blocks/iir_filter")
+class IIRFilter(Block):
+    def __init__(self, dtype="complex_float32"):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        if self.dtype.kind == "uint":
+            raise ValueError("unsupported dtype")
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, self.dtype)
+        self._wait_taps = False
+        self._wait_armed = False
+        self.set_taps([0.0676, 0.135, 0.0676, 1, -1.142, 0.412])
+
+    def set_taps(self, taps):
+        taps = np.asarray(taps, np.float64)
+        if taps.size == 0:
+            raise ValueError("order cannot be 0")
+        # [b...; a...] halves (reference filter/IIRFilter.cpp:29-36)
+        half = taps.size // 2
+        self._b = taps[:half]
+        self._a = taps[half:]
+        if self._a.size == 0 or self._a[0] == 0:
+            raise ValueError("feedback taps must start with a nonzero a0")
+        self._wait_armed = False
+        self.reset()
+
+    def get_taps(self):
+        return np.concatenate([self._b, self._a])
+
+    def set_wait_taps(self, wait: bool):
+        self._wait_taps = bool(wait)
+
+    def get_wait_taps(self) -> bool:
+        return self._wait_taps
+
+    def reset(self):
+        order = max(self._b.size, self._a.size) - 1
+        sdt = np.complex128 if self.dtype.is_complex else np.float64
+        self._state = np.zeros(max(order, 1), sdt)
+
+    def activate(self):
+        self.reset()
+        self._wait_armed = self._wait_taps
+
+    def work(self):
+        if self._wait_armed:
+            return
+        port = self.input(0)
+        n = port.elements()
+        if n == 0:
+            return
+        buf = np.asarray(port.buffer(n))
+        if self.dtype.is_complex_int:
+            x = buf[..., 0].astype(np.float64) + 1j * buf[..., 1].astype(np.float64)
+        else:
+            x = buf
+        b = self._b / self._a[0]
+        a = self._a / self._a[0]
+        y, z = fops.iir_df(
+            jnp.asarray(x), jnp.asarray(b), jnp.asarray(a),
+            jnp.asarray(self._state),
+        )
+        self._state = np.asarray(z)
+        y = np.asarray(y)
+        if self.dtype.is_complex_int:
+            out = np.stack(
+                [np.trunc(y.real), np.trunc(y.imag)], axis=-1
+            ).astype(self.dtype.scalar.np)
+        elif self.dtype.is_integer:
+            out = np.trunc(y.real).astype(self.dtype.np)
+        else:
+            out = y.astype(self.dtype.np)
+        port.consume(n)
+        self.output(0).post(out)
+
+
+# ---------------------------------------------------------------------- #
+# /comms/dc_removal (reference: filter/DCRemoval.cpp + MovingAverage.hpp)
+# ---------------------------------------------------------------------- #
+@register_block("/comms/dc_removal")
+class DCRemoval(Block):
+    def __init__(self, dtype="complex_float32"):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        if self.dtype.kind == "uint":
+            raise ValueError("unsupported dtype")
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, self.dtype)
+        qname = Q_ACCUMULATOR[self.dtype.scalar.name]
+        self._acc_np = DType.parse(qname).np
+        self._average_size = 512
+        self._cascade_size = 2
+        self._reset()
+
+    def set_average_size(self, num: int):
+        if num == 0:
+            raise ValueError("average size cannot be zero")
+        self._average_size = int(num)
+        self._reset()
+
+    def get_average_size(self) -> int:
+        return self._average_size
+
+    def set_cascade_size(self, num: int):
+        if num == 0:
+            raise ValueError("cascade size cannot be zero")
+        self._cascade_size = int(num)
+        self._reset()
+
+    def get_cascade_size(self) -> int:
+        return self._cascade_size
+
+    def _reset(self):
+        d, c = self._average_size, self._cascade_size
+        shape = (c, d, 2) if self.dtype.is_complex_int else (c, d)
+        base = self._acc_np if not (self.dtype.is_complex and self.dtype.is_float) \
+            else self.dtype.np
+        self._hists = np.zeros(shape, base)
+
+    def activate(self):
+        self._reset()
+
+    def work(self):
+        port = self.input(0)
+        n = port.elements()
+        if n == 0:
+            return
+        buf = np.asarray(port.buffer(n))
+        is_int = self.dtype.is_integer
+        if self.dtype.is_complex_int:
+            x = buf.astype(self._acc_np)  # [N, 2] componentwise
+        elif is_int:
+            x = buf.astype(self._acc_np)
+        else:
+            x = buf
+        y, hists = fops.dc_removal(
+            jnp.asarray(x), jnp.asarray(self._hists),
+            self._average_size, self._cascade_size, is_int,
+        )
+        self._hists = np.asarray(hists)
+        y = np.asarray(y)
+        if self.dtype.is_complex_int or is_int:
+            out = y.astype(self.dtype.scalar.np if self.dtype.is_complex_int
+                           else self.dtype.np)
+        else:
+            out = y.astype(self.dtype.np)
+        port.consume(n)
+        self.output(0).post(out)
+
+
+# ---------------------------------------------------------------------- #
+# /comms/envelope_detector (reference: filter/EnvelopeDetector.cpp)
+# ---------------------------------------------------------------------- #
+@register_block("/comms/envelope_detector", "/blocks/envelope_detector")
+class EnvelopeDetector(Block):
+    """Attack/release envelope follower; any real/complex input, float
+    output; lookahead delay via retained input samples."""
+
+    def __init__(self, dtype="complex_float32"):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        self.out_dtype = DType.parse("float32")
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, self.out_dtype)
+        self._envelope = 0.0
+        self._lookahead = 0
+        self.set_attack(10.0)
+        self.set_release(10.0)
+
+    def set_attack(self, attack: float):
+        self._attack = float(attack)
+        self._attack_gain = float(np.exp(-1.0 / attack))
+
+    def get_attack(self) -> float:
+        return self._attack
+
+    def set_release(self, release: float):
+        self._release = float(release)
+        self._release_gain = float(np.exp(-1.0 / release))
+
+    def get_release(self) -> float:
+        return self._release
+
+    def set_lookahead(self, lookahead: int):
+        self._lookahead = int(lookahead)
+
+    def get_lookahead(self) -> int:
+        return self._lookahead
+
+    def activate(self):
+        self._envelope = 0.0
+
+    def work(self):
+        port = self.input(0)
+        if port.elements() <= self._lookahead:
+            port.set_reserve(self._lookahead + 1)
+            return
+        port.set_reserve(0)
+        n = port.elements() - self._lookahead
+        buf = np.asarray(port.buffer(port.elements()))[self._lookahead:]
+        # |x| per dtype (reference FxptHelpers getAbs)
+        if self.dtype.is_complex_int:
+            mag2 = (buf[..., 0].astype(np.float64) ** 2
+                    + buf[..., 1].astype(np.float64) ** 2)
+            xabs = np.sqrt(mag2).astype(np.float32)
+        elif self.dtype.is_complex:
+            xabs = np.abs(buf).astype(np.float32)
+        else:
+            xabs = np.abs(buf.astype(np.float32))
+        y, env = fops.envelope_scan(
+            jnp.asarray(xabs), jnp.float32(self._envelope),
+            jnp.float32(self._attack_gain), jnp.float32(self._release_gain),
+        )
+        self._envelope = float(env)
+        port.consume(n)
+        self.output(0).post(np.asarray(y, np.float32))
+
+
+# ---------------------------------------------------------------------- #
+# /comms/fir_designer — event-only taps designer
+# (reference: filter/FIRDesigner.cpp)
+# ---------------------------------------------------------------------- #
+@register_block("/comms/fir_designer", "/blocks/fir_designer")
+class FIRDesigner(Block):
+    def __init__(self):
+        super().__init__()
+        self._filter_type = "GAUSSIAN"
+        self._band_type = "LOW_PASS"
+        self._window_type = "hann"
+        self._window_args: List[float] = []
+        self._gain = 1.0
+        self._samp_rate = 1.0
+        self._freq_lower = 0.1
+        self._freq_upper = 0.2
+        self._trans_bw = 0.1
+        self._alpha = 0.5
+        self._weight = 1.0
+        self._stop_db = 60.0
+        self._pass_db = 0.1
+        self._num_taps = 51
+        self.register_signal("tapsChanged")
+
+    # -- setters (each triggers recalculation, reference :193-360) -------- #
+    def set_filter_type(self, ftype: str):
+        bands = ("LOW_PASS", "HIGH_PASS", "BAND_PASS", "BAND_STOP",
+                 "COMPLEX_BAND_PASS", "COMPLEX_BAND_STOP")
+        if ftype in bands:
+            # backwards-compat remap (reference :195-212)
+            self._filter_type = "SINC"
+            self._band_type = ftype
+        else:
+            self._filter_type = ftype
+        self.recalculate()
+
+    def filter_type(self) -> str:
+        return self._filter_type
+
+    def set_band_type(self, btype: str):
+        self._band_type = btype
+        self.recalculate()
+
+    def band_type(self) -> str:
+        return self._band_type
+
+    def set_window_type(self, wtype: str):
+        self._window_type = wtype
+        self.recalculate()
+
+    def window_type(self) -> str:
+        return self._window_type
+
+    def set_window_args(self, args):
+        self._window_args = list(args)
+        self.recalculate()
+
+    def window_args(self):
+        return self._window_args
+
+    def set_sample_rate(self, rate: float):
+        self._samp_rate = float(rate)
+        self.recalculate()
+
+    def sample_rate(self) -> float:
+        return self._samp_rate
+
+    def set_frequencies(self, freqs):
+        if len(freqs) > 0:
+            self._freq_lower = float(freqs[0])
+        if len(freqs) > 1:
+            self._freq_upper = float(freqs[1])
+        self.recalculate()
+
+    def set_frequency_lower(self, freq: float):
+        self._freq_lower = float(freq)
+        self.recalculate()
+
+    def frequency_lower(self) -> float:
+        return self._freq_lower
+
+    def set_frequency_upper(self, freq: float):
+        self._freq_upper = float(freq)
+        self.recalculate()
+
+    def frequency_upper(self) -> float:
+        return self._freq_upper
+
+    def set_bandwidth_trans(self, freq: float):
+        self._trans_bw = float(freq)
+        self.recalculate()
+
+    def bandwidth_trans(self) -> float:
+        return self._trans_bw
+
+    def set_num_taps(self, num: int):
+        self._num_taps = int(num)
+        self.recalculate()
+
+    def num_taps(self) -> int:
+        return self._num_taps
+
+    def set_alpha(self, alpha: float):
+        self._alpha = float(alpha)
+        self.recalculate()
+
+    def alpha(self) -> float:
+        return self._alpha
+
+    def set_pass_db(self, db: float):
+        self._pass_db = float(db)
+        self.recalculate()
+
+    def pass_db(self) -> float:
+        return self._pass_db
+
+    def set_stop_db(self, db: float):
+        self._stop_db = float(db)
+        self.recalculate()
+
+    def stop_db(self) -> float:
+        return self._stop_db
+
+    def set_gain(self, gain: float):
+        self._gain = float(gain)
+        self.recalculate()
+
+    def gain(self) -> float:
+        return self._gain
+
+    def activate(self):
+        self.recalculate()
+
+    def recalculate(self):
+        """Validate, design, window, and emit (reference :387-477)."""
+        if not self.is_active():
+            return
+        is_complex = "COMPLEX" in self._band_type
+        is_stop = "STOP" in self._band_type
+
+        if self._num_taps == 0:
+            raise ValueError("num taps must be positive")
+        if self._samp_rate <= 0:
+            raise ValueError("sample rate must be positive")
+        if is_complex and self._freq_lower <= -self._samp_rate / 2:
+            raise ValueError("lower frequency below Nyquist range")
+        if not is_complex and self._freq_lower <= 0:
+            raise ValueError("lower frequency must be positive")
+        if self._freq_lower >= self._samp_rate / 2:
+            raise ValueError("lower frequency above Nyquist range")
+
+        if self._band_type in ("BAND_PASS", "BAND_STOP",
+                               "COMPLEX_BAND_PASS", "COMPLEX_BAND_STOP"):
+            if self._num_taps % 2 == 0:
+                raise ValueError(
+                    "Band pass or Band stop FIRs must have an odd number of taps"
+                )
+            if is_complex and self._freq_upper <= -self._samp_rate / 2:
+                raise ValueError("upper frequency below Nyquist range")
+            if not is_complex and self._freq_upper <= 0:
+                raise ValueError("upper frequency must be positive")
+            if self._freq_upper >= self._samp_rate / 2:
+                raise ValueError("upper frequency above Nyquist range")
+            if self._freq_upper <= self._freq_lower:
+                raise ValueError("upper frequency <= lower frequency")
+
+        alpha, weight = self._alpha, self._weight
+        if self._filter_type == "MAXFLAT" and is_stop:
+            raise ValueError(
+                "Can not use MAXFLAT as prototype for stop-band filter"
+            )
+        if self._filter_type == "REMEZ":
+            if self._trans_bw <= 0:
+                raise ValueError("Transition Bandwidth must be > 0")
+            if self._pass_db <= 0:
+                raise ValueError("Passband Attenuation must be > 0")
+            if self._stop_db <= 0:
+                raise ValueError("Stopband Attenuation must be > 0")
+            alpha = self._alpha = self._trans_bw / self._samp_rate
+            est = remez_estimate_num_taps(alpha, self._pass_db, self._stop_db)
+            if est > self._num_taps:
+                import logging
+                logging.getLogger("FIRDesigner.Remez").warning(
+                    "Remez order not large enough to meet specification: "
+                    "either increase filter order to %d taps, decrease "
+                    "stopband attenuation to %.1f dB, or increase transition "
+                    "bandwidth to %.3f kHz",
+                    est,
+                    remez_estimate_atten(self._num_taps, alpha, self._pass_db),
+                    remez_estimate_bw(self._num_taps, self._pass_db,
+                                      self._stop_db) * self._samp_rate / 1e3,
+                )
+            weight = self._weight = remez_estimate_weight(
+                self._pass_db, self._stop_db
+            )
+
+        fl = self._freq_lower / self._samp_rate
+        fu = self._freq_upper / self._samp_rate
+        if is_complex:
+            taps = design_complex_fir(
+                self._filter_type, self._band_type, self._num_taps,
+                fl, fu, alpha, weight,
+            )
+        else:
+            taps = design_fir(
+                self._filter_type, self._band_type, self._num_taps,
+                fl, fu, alpha, weight,
+            )
+        taps = taps * self._gain
+        window = design_window(
+            self._window_type, self._num_taps,
+            self._window_args[0] if self._window_args else 0.0,
+        )
+        taps = taps * window
+        self.emit_signal("tapsChanged", taps)
+
+
+# ---------------------------------------------------------------------- #
+# /comms/iir_designer (reference: filter/IIRDesigner.cpp)
+# ---------------------------------------------------------------------- #
+@register_block("/comms/iir_designer")
+class IIRDesigner(Block):
+    def __init__(self):
+        super().__init__()
+        self._filter_type = "LOW_PASS"
+        self._iir_type = "butterworth"
+        self._samp_rate = 1.0
+        self._freq_lower = 0.1
+        self._freq_upper = 0.2
+        self._stop_atten = 60.0
+        self._ripple = 0.1
+        self._order = 2
+        self.register_signal("tapsChanged")
+
+    def set_filter_type(self, t: str):
+        self._filter_type = t
+        self.recalculate()
+
+    def filter_type(self) -> str:
+        return self._filter_type
+
+    def set_iir_type(self, t: str):
+        self._iir_type = t
+        self.recalculate()
+
+    def iir_type(self) -> str:
+        return self._iir_type
+
+    # reference exposes setIIRType/IIRType camel names
+    setIIRType = set_iir_type
+
+    def IIRType(self) -> str:
+        return self._iir_type
+
+    def set_sample_rate(self, rate: float):
+        self._samp_rate = float(rate)
+        self.recalculate()
+
+    def sample_rate(self) -> float:
+        return self._samp_rate
+
+    def set_frequency_lower(self, f: float):
+        self._freq_lower = float(f)
+        self.recalculate()
+
+    def frequency_lower(self) -> float:
+        return self._freq_lower
+
+    def set_frequency_upper(self, f: float):
+        self._freq_upper = float(f)
+        self.recalculate()
+
+    def frequency_upper(self) -> float:
+        return self._freq_upper
+
+    def set_order(self, n: int):
+        self._order = int(n)
+        self.recalculate()
+
+    def order(self) -> int:
+        return self._order
+
+    def set_ripple(self, r: float):
+        self._ripple = float(r)
+        self.recalculate()
+
+    def ripple(self) -> float:
+        return self._ripple
+
+    def set_stop_band_atten(self, db: float):
+        self._stop_atten = float(db)
+        self.recalculate()
+
+    def stop_band_atten(self) -> float:
+        return self._stop_atten
+
+    def activate(self):
+        self.recalculate()
+
+    def recalculate(self):
+        if not self.is_active():
+            return
+        if self._order == 0:
+            raise ValueError("order must be positive")
+        if self._samp_rate <= 0:
+            raise ValueError("sample rate must be positive")
+        if self._freq_lower <= 0:
+            raise ValueError("lower frequency must be positive")
+        if self._freq_lower >= self._samp_rate / 2:
+            raise ValueError("lower frequency Nyquist fail")
+        center = 0.25
+        if self._filter_type in ("BAND_PASS", "BAND_STOP"):
+            if self._freq_upper <= 0:
+                raise ValueError("upper frequency must be positive")
+            if self._freq_upper >= self._samp_rate / 2:
+                raise ValueError("upper frequency Nyquist fail")
+            if self._freq_upper <= self._freq_lower:
+                raise ValueError("upper frequency <= lower frequency")
+            bw = 0.5 * (self._freq_upper - self._freq_lower) / self._samp_rate
+            center = 0.5 * (self._freq_upper + self._freq_lower) / self._samp_rate
+            if bw < 0.001:
+                raise ValueError("bandpass bandwidth too small < 0.001")
+        else:
+            bw = self._freq_lower / self._samp_rate
+
+        b, a = design_iir(
+            self._iir_type, self._filter_type, self._order, bw,
+            self._ripple, self._stop_atten, center,
+        )
+        # [b...; a...] concatenated (reference filter/IIRDesigner.cpp:217-223)
+        self.emit_signal("tapsChanged", np.concatenate([b, a]))

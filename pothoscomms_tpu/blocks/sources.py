@@ -1,0 +1,284 @@
+"""Waveform and noise sources (reference: waveform/ module, SURVEY.md §2.8).
+
+TPU-first notes: both sources are table-driven exactly like the reference
+(waveform/WaveformSource.cpp:98-108 walks a power-of-2 lookup table by an
+integer step+mask; waveform/NoiseSource.cpp:105-130 re-enters a pre-filled
+pool at a random offset). Table *construction* is control-plane (numpy at
+reconfiguration time); per-work sample generation is a vectorized gather.
+Under the fused-chain compiler the same tables are closed over by the jitted
+chain so generation happens on-device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from pothoscomms_tpu.core.block import Block
+from pothoscomms_tpu.core.dtypes import DType
+from pothoscomms_tpu.core.registry import register_block
+
+DEFAULT_WAVE_TABLE_SIZE = 4096
+MAX_WAVE_TABLE_SIZE = 1024 * 1024
+MINIMUM_TABLE_STEP_SIZE = 16
+
+# samples produced per work() call when quota allows (the analog of the
+# reference's output-buffer-manager slab size)
+_CHUNK = 4096
+
+
+def _llround(x: float) -> int:
+    """C++ llround: round half away from zero."""
+    return int(np.floor(x + 0.5)) if x >= 0 else int(np.ceil(x - 0.5))
+
+
+class _TableSource(Block):
+    """Shared machinery: dtype-aware element conversion + chunked output."""
+
+    def __init__(self, dtype):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        if self.dtype.kind == "uint":
+            raise ValueError("unsupported type (reference factory matrix is "
+                             "int/float only)")
+        self.setup_output(0, self.dtype)
+        self.unbounded_source = True
+        self._offset = complex(0.0)
+        self._scalar = complex(1.0)
+
+    # reference setElem (waveform/WaveformSource.cpp:249-259): real dtypes
+    # keep the real part; integer casts truncate toward zero like C.
+    def _convert(self, vals: np.ndarray) -> np.ndarray:
+        vals = self._scalar * np.asarray(vals, np.complex128) + self._offset
+        dt = self.dtype
+        if dt.is_complex:
+            if dt.is_float:
+                return vals.astype(dt.np)
+            return np.stack(
+                [np.trunc(vals.real), np.trunc(vals.imag)], axis=-1
+            ).astype(dt.scalar.np)
+        if dt.is_float:
+            return vals.real.astype(dt.np)
+        return np.trunc(vals.real).astype(dt.np)
+
+    def set_offset(self, offset):
+        self._offset = complex(offset)
+        self._update_table()
+
+    def get_offset(self):
+        return self._offset
+
+    def set_amplitude(self, scalar):
+        self._scalar = complex(scalar)
+        self._update_table()
+
+    def get_amplitude(self):
+        return self._scalar
+
+    def _update_table(self):  # override
+        pass
+
+    def activate(self):
+        self._update_table()
+
+
+@register_block("/comms/waveform_source", "/blocks/waveform_source")
+class WaveformSource(_TableSource):
+    """CONST/SINE/RAMP/SQUARE cyclic source
+    (reference: waveform/WaveformSource.cpp).
+
+    Complex output is quadrature: im lags re by 90 degrees (table built from
+    one complex rotation; RAMP/SQUARE use the i+(3N/4) mod N trick,
+    WaveformSource.cpp:228,239).
+    """
+
+    def __init__(self, dtype="complex_float32"):
+        super().__init__(dtype)
+        self._index = 0
+        self._step = 0
+        self._mask = 0
+        self._rate = 1.0
+        self._freq = 0.0
+        self._res = 0.0
+        self._wave = "CONST"
+        self._table: Optional[np.ndarray] = None
+
+    # -- setters (reference :110-174) ---------------------------------- #
+    def set_waveform(self, wave: str):
+        self._wave = wave
+        self._update_table()
+
+    def get_waveform(self) -> str:
+        return self._wave
+
+    def set_frequency(self, freq: float):
+        self._freq = float(freq)
+        self._update_table()
+
+    def get_frequency(self) -> float:
+        return self._freq
+
+    def set_sample_rate(self, rate: float):
+        self._rate = float(rate)
+        self._update_table()
+
+    def get_sample_rate(self) -> float:
+        return self._rate
+
+    def set_resolution(self, res: float):
+        self._res = float(res)
+        self._update_table()
+
+    def get_resolution(self) -> float:
+        return self._res
+
+    # -- table construction (reference :178-247) ------------------------ #
+    def _update_table(self):
+        if not self.is_active():
+            return
+        frac = (self._freq if self._res == 0.0 else self._res) / self._rate
+        num_entries = DEFAULT_WAVE_TABLE_SIZE
+        while True:
+            delta = _llround(frac * num_entries)
+            if frac == 0.0:
+                break
+            if abs(delta) >= MINIMUM_TABLE_STEP_SIZE:
+                break
+            if num_entries * 2 > MAX_WAVE_TABLE_SIZE:
+                break
+            num_entries *= 2
+
+        self._mask = num_entries - 1
+        self._step = _llround((self._freq / self._rate) * num_entries)
+        if self._step == 0 and self._freq != 0.0:
+            raise ValueError(
+                "WaveformSource.update_table: step size not achievable"
+            )
+
+        n = num_entries
+        i = np.arange(n)
+        if self._wave == "CONST":
+            vals = np.ones(n, np.complex128)
+        elif self._wave == "SINE":
+            vals = np.exp(2j * np.pi * i / n)
+        elif self._wave == "RAMP":
+            q = (i + (3 * n) // 4) % n
+            vals = (2.0 * i / (n - 1) - 1.0) + 1j * (2.0 * q / (n - 1) - 1.0)
+        elif self._wave == "SQUARE":
+            q = (i + (3 * n) // 4) % n
+            vals = np.where(i < n // 2, 0.0, 1.0) + 1j * np.where(
+                q < n // 2, 0.0, 1.0
+            )
+        else:
+            raise ValueError(f"unknown waveform setting {self._wave!r}")
+        self._table = self._convert(vals)
+
+    # -- generation (reference :98-108, vectorized) ---------------------- #
+    def work(self):
+        if self._table is None:
+            self._update_table()
+        n = min(self._source_quota, _CHUNK) if self._source_quota else _CHUNK
+        if n <= 0:
+            return
+        size = self._mask + 1
+        idx = (self._index + np.arange(n) * self._step) % size
+        self.output(0).post(self._table[idx])
+        self._index = (self._index + n * self._step) % size
+        self._source_quota = max(0, self._source_quota - n)
+
+
+@register_block("/comms/noise_source", "/blocks/noise_source")
+class NoiseSource(_TableSource):
+    """UNIFORM/NORMAL/LAPLACE/POISSON noise source
+    (reference: waveform/NoiseSource.cpp).
+
+    Fast mode pre-fills a 4096-entry pool and re-enters it at a random
+    offset each work() (reference :105-117); slow mode draws fresh samples
+    every element (:119-128). Seedable for reproducible tests (the
+    reference uses std::random_device; we default-seed from it too but
+    accept a seed).
+    """
+
+    def __init__(self, dtype="complex_float32", seed: Optional[int] = None):
+        super().__init__(dtype)
+        self._wave = "NORMAL"
+        self._mean = 0.0
+        self._b = 1.0
+        self._fast = True
+        self._index = 0
+        self._rng = np.random.default_rng(seed)
+        self._table: Optional[np.ndarray] = None
+
+    # -- setters (reference :132-185) ------------------------------------ #
+    def set_waveform(self, wave: str):
+        if wave not in ("UNIFORM", "NORMAL", "LAPLACE", "POISSON"):
+            raise ValueError(f"unknown waveform setting {wave!r}")
+        self._wave = wave
+        self._update_table()
+
+    def get_waveform(self) -> str:
+        return self._wave
+
+    def set_mean(self, mean: float):
+        self._mean = float(mean)
+        self._update_table()
+
+    def get_mean(self) -> float:
+        return self._mean
+
+    def set_b(self, b: float):
+        self._b = float(b)
+        self._update_table()
+
+    def get_b(self) -> float:
+        return self._b
+
+    def set_fast(self, fast: bool):
+        self._fast = bool(fast)
+
+    # -- draws ----------------------------------------------------------- #
+    def _draw(self, n: int) -> np.ndarray:
+        """n complex draws with independent re/im components."""
+        m, b = self._mean, self._b
+        if self._wave == "UNIFORM":
+            re, im = (self._rng.uniform(m - b, m + b, n) for _ in range(2))
+        elif self._wave == "NORMAL":
+            re, im = (self._rng.normal(m, b, n) for _ in range(2))
+        elif self._wave == "LAPLACE":
+            # reference quirk preserved: Laplace synthesized from a
+            # uniform(mean-b, mean+b) draw (NoiseSource.cpp:243-249)
+            def lap():
+                u = self._rng.uniform(m - b, m + b, n)
+                return np.where(u < 0, m + b * np.log1p(u), m - b * np.log1p(-u))
+
+            re, im = lap(), lap()
+        elif self._wave == "POISSON":
+            re, im = (
+                self._rng.poisson(max(m, 0.0), n).astype(np.float64)
+                for _ in range(2)
+            )
+        else:
+            raise ValueError(f"unknown waveform setting {self._wave!r}")
+        return re + 1j * im
+
+    def _update_table(self):
+        if not self.is_active():
+            return
+        self._table = self._convert(self._draw(DEFAULT_WAVE_TABLE_SIZE))
+
+    def work(self):
+        if self._table is None:
+            self._update_table()
+        n = min(self._source_quota, _CHUNK) if self._source_quota else _CHUNK
+        if n <= 0:
+            return
+        if self._fast:
+            self._index += int(self._rng.integers(0, DEFAULT_WAVE_TABLE_SIZE))
+            idx = (self._index + np.arange(n)) % DEFAULT_WAVE_TABLE_SIZE
+            out = self._table[idx]
+            self._index += n
+        else:
+            out = self._convert(self._draw(n))
+        self.output(0).post(out)
+        self._source_quota = max(0, self._source_quota - n)

@@ -180,6 +180,7 @@ class Block:
         self._probes: Dict[str, str] = {}
         self._active = False
         self._topology = None
+        self._emit_queue = None  # set by Topology.commit to defer signals
         # True for blocks that generate data forever (waveform/noise
         # sources); the executor meters these via a production quota.
         self.unbounded_source = False
@@ -217,6 +218,9 @@ class Block:
         self._signals.setdefault(name, [])
 
     def emit_signal(self, name: str, *args) -> None:
+        if self._emit_queue is not None:  # deferred during topology commit
+            self._emit_queue.append((self, name, args))
+            return
         for (blk, slot) in self._signals.get(name, ()):
             blk.call(slot, *args)
 

@@ -222,6 +222,38 @@ class Copier(Block):
             self.output(0).post_label(lb)
 
 
+@register_block("/blocks/finite_release", "/comms_tpu/finite_release")
+class FiniteRelease(Block):
+    """Pass-through that forwards a bounded total number of elements then
+    drops the rest (Pothos-core test fixture used by
+    filter/TestFIRFilter.cpp:25-26)."""
+
+    def __init__(self, total_elements: int = 1024):
+        super().__init__()
+        self.setup_input(0)
+        self.setup_output(0)
+        self._total = int(total_elements)
+        self._passed = 0
+
+    def set_total_elements(self, total: int):
+        self._total = int(total)
+        self._passed = 0
+
+    def work(self):
+        port = self.input(0)
+        while port.has_message():
+            self.output(0).post_message(port.pop_message())
+        n = port.elements()
+        if n == 0:
+            return
+        take = min(n, self._total - self._passed)
+        if take > 0:
+            buf = np.array(port.buffer(take), copy=True)
+            self.output(0).post(buf, None)
+            self._passed += take
+        port.consume(n)  # drop any excess beyond the quota
+
+
 @register_block("/blocks/black_hole", "/comms_tpu/black_hole")
 class BlackHole(Block):
     def __init__(self, dtype=None):

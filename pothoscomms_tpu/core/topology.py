@@ -68,12 +68,28 @@ class Topology:
     # Lifecycle
     # ------------------------------------------------------------------ #
     def commit(self) -> None:
-        """Activate all blocks (reference: Topology::commit())."""
-        if not self._committed:
-            for blk in self.blocks:
-                blk._active = True
-                blk.activate()
-            self._committed = True
+        """Activate all blocks (reference: Topology::commit()).
+
+        Signal emissions during activate() are deferred until every block
+        has activated — matching Pothos, where slot calls are queued into
+        the receiving block's actor and run after topology commit. (A
+        designer emitting "tapsChanged" inside activate must not have the
+        taps clobbered by the receiving filter's own later activate(),
+        e.g. the waitTaps re-arm in filter/FIRFilter.cpp:201-205.)
+        """
+        if self._committed:
+            return
+        deferred: List[tuple] = []
+        for blk in self.blocks:
+            blk._active = True
+        for blk in self.blocks:
+            blk._emit_queue = deferred
+            blk.activate()
+        for blk in self.blocks:
+            blk._emit_queue = None
+        for blk, name, args in deferred:
+            blk.emit_signal(name, *args)
+        self._committed = True
 
     def uncommit(self) -> None:
         if self._committed:

@@ -1,0 +1,96 @@
+"""Mesh sharding for multi-chip scale-out.
+
+The reference has no distribution layer (SURVEY.md §2.13(4): Pothos remote
+proxy only); this module is the TPU-native equivalent mandated by
+BASELINE.md's north star: shard [channel, time] streams over a
+``jax.sharding.Mesh``, with XLA collectives riding ICI.
+
+Two shardings are provided:
+
+- **Channel sharding** ("ch" axis): embarrassingly parallel — each device
+  owns C/n channels end to end. No collectives in steady state. This is
+  the default for the multichannel configs.
+- **Time sharding** ("t" axis): each device owns a time slice; stateful
+  kernels (FIR history) exchange K-1-sample halos with ``ppermute`` to the
+  right neighbor — the overlap-save boundary exchange.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from pothoscomms_tpu.parallel.chain import fir_fft_step, complex_fir_kernel
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "ch") -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def channel_sharded_fir_fft(mesh: Mesh, taps, nbins: int, decim: int = 1):
+    """FIR+FFT chain sharded over channels: [C, T, 2] with C split on the
+    mesh. Returns (jitted fn, init_history fn)."""
+    kernel = complex_fir_kernel(np.asarray(taps))
+    k = kernel.shape[-1]
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("ch"), P("ch"), P()),
+        out_specs=(P("ch"), P("ch")),
+    )
+    def run(x, hist, kern):
+        return fir_fft_step(x, hist, kern, nbins, decim)
+
+    def init_history(channels: int):
+        return jnp.zeros((channels, k - 1, 2), jnp.float32)
+
+    return lambda x, h: run(x, h, kernel), init_history
+
+
+def time_sharded_fir(mesh: Mesh, taps, decim: int = 1):
+    """FIR sharded over the time axis with ppermute halo exchange.
+
+    Each device holds a contiguous [C, T/n, 2] slice. The K-1 trailing
+    samples of device i are the history of device i+1 (overlap-save);
+    device 0 consumes the stream-level carry. Returns the jitted fn
+    f(x, carry) -> (y, new_carry) where carry is the global stream tail
+    [C, K-1, 2] (fed to device 0, produced from the last device).
+    """
+    kernel = complex_fir_kernel(np.asarray(taps))
+    k = kernel.shape[-1]
+    n = mesh.devices.size
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "t"), P(), P()),
+        out_specs=(P(None, "t"), P()),
+    )
+    def run(x, carry, kern):
+        # x: local [C, T/n, 2]; carry: replicated [C, K-1, 2]
+        idx = jax.lax.axis_index("t")
+        tail = x[:, x.shape[1] - (k - 1):, :] if k > 1 else x[:, :0, :]
+        # right-shift the tails along the ring: device i receives the
+        # tail of device i-1 as its local history
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        left_tail = jax.lax.ppermute(tail, "t", perm)
+        hist = jnp.where(idx == 0, carry, left_tail) if k > 1 else left_tail
+        from pothoscomms_tpu.parallel.chain import fir_multichannel
+        y, _ = fir_multichannel(x, hist, kern, decim)
+        # new stream carry = tail of the LAST device; psum of a one-hot
+        # contribution is replication the partitioner can verify
+        contrib = jnp.where(idx == n - 1, tail, jnp.zeros_like(tail))
+        last_tail = jax.lax.psum(contrib, "t")
+        return y, last_tail
+
+    return lambda x, c: run(x, c, kernel)

@@ -1,0 +1,190 @@
+"""TPU execution-layer tests: planar complex, MXU FFT, fused chains,
+mesh sharding (on the virtual 8-device CPU mesh), and the driver entry
+points."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pothoscomms_tpu.parallel import cplx
+from pothoscomms_tpu.parallel.chain import (
+    complex_fir_kernel,
+    fir_fft_chain,
+    fir_multichannel,
+    freq_demod_planar,
+)
+from pothoscomms_tpu.parallel.fft import fft_planar
+
+
+def test_cplx_roundtrip_and_mul():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(4, 16)) + 1j * rng.normal(size=(4, 16))
+    b = rng.normal(size=(4, 16)) + 1j * rng.normal(size=(4, 16))
+    pa, pb = cplx.to_planar(a), cplx.to_planar(b)
+    got = cplx.from_planar(cplx.mul(jnp.asarray(pa), jnp.asarray(pb)))
+    np.testing.assert_allclose(got, a * b, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n", [64, 256, 512, 1024, 2048])
+def test_fft_planar_matches_numpy(n):
+    rng = np.random.default_rng(n)
+    x = (rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n)))
+    xp = jnp.asarray(cplx.to_planar(x))
+    got = cplx.from_planar(np.asarray(fft_planar(xp, n, False)))
+    exp = np.fft.fft(x, axis=-1)
+    scale = np.abs(exp).max()
+    np.testing.assert_allclose(got / scale, exp / scale, atol=2e-5)
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+def test_fft_planar_inverse_unnormalized(n):
+    rng = np.random.default_rng(n + 1)
+    x = (rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n)))
+    xp = jnp.asarray(cplx.to_planar(x))
+    rt = cplx.from_planar(np.asarray(fft_planar(fft_planar(xp, n, False),
+                                                n, True)))
+    np.testing.assert_allclose(rt / n, x, atol=1e-3)
+
+
+def test_fir_multichannel_matches_oracle():
+    rng = np.random.default_rng(2)
+    C, T, K = 4, 300, 12
+    x = rng.normal(size=(C, T)) + 1j * rng.normal(size=(C, T))
+    taps = (rng.normal(size=K) + 1j * rng.normal(size=K))
+    kern = complex_fir_kernel(taps)
+    hist = jnp.zeros((C, K - 1, 2), jnp.float32)
+    y, hist2 = fir_multichannel(jnp.asarray(cplx.to_planar(x)), hist, kern)
+    got = cplx.from_planar(np.asarray(y))
+    for ch in range(C):
+        exp = np.convolve(x[ch], taps, mode="full")[:T]
+        np.testing.assert_allclose(got[ch], exp, atol=1e-3)
+    # history = last K-1 inputs
+    np.testing.assert_allclose(
+        cplx.from_planar(np.asarray(hist2)), x[:, -(K - 1):], atol=1e-5
+    )
+
+
+def test_fir_carry_across_blocks():
+    rng = np.random.default_rng(3)
+    C, T, K = 2, 256, 8
+    x = rng.normal(size=(C, 2 * T)) + 1j * rng.normal(size=(C, 2 * T))
+    taps = rng.normal(size=K)
+    kern = complex_fir_kernel(taps)
+    hist = jnp.zeros((C, K - 1, 2), jnp.float32)
+    y1, hist = fir_multichannel(jnp.asarray(cplx.to_planar(x[:, :T])), hist, kern)
+    y2, hist = fir_multichannel(jnp.asarray(cplx.to_planar(x[:, T:])), hist, kern)
+    got = np.concatenate(
+        [cplx.from_planar(np.asarray(y1)), cplx.from_planar(np.asarray(y2))],
+        axis=1,
+    )
+    for ch in range(C):
+        exp = np.convolve(x[ch], taps, mode="full")[: 2 * T]
+        np.testing.assert_allclose(got[ch], exp, atol=1e-3)
+
+
+def test_fir_decimation():
+    rng = np.random.default_rng(4)
+    C, T, K, M = 2, 240, 6, 3
+    x = rng.normal(size=(C, T)) + 1j * rng.normal(size=(C, T))
+    taps = rng.normal(size=K)
+    kern = complex_fir_kernel(taps)
+    hist = jnp.zeros((C, K - 1, 2), jnp.float32)
+    y, _ = fir_multichannel(jnp.asarray(cplx.to_planar(x)), hist, kern, M)
+    got = cplx.from_planar(np.asarray(y))
+    for ch in range(C):
+        exp = np.convolve(x[ch], taps, mode="full")[:T][::M]
+        np.testing.assert_allclose(got[ch], exp, atol=1e-3)
+
+
+def test_fused_chain_shapes_and_content():
+    rng = np.random.default_rng(5)
+    C, T, K, NB = 4, 1024, 16, 256
+    taps = rng.normal(size=K) / K
+    run, hist0 = fir_fft_chain(taps, NB, C, T)
+    x = rng.normal(size=(C, T)) + 1j * rng.normal(size=(C, T))
+    spec, hist = run(jnp.asarray(cplx.to_planar(x)), hist0)
+    assert spec.shape == (C, T // NB, NB, 2)
+    # cross-check one frame
+    y0 = np.convolve(x[0], taps, mode="full")[:T]
+    exp = np.fft.fft(y0[:NB])
+    got = cplx.from_planar(np.asarray(spec[0, 0]))
+    np.testing.assert_allclose(got, exp, atol=2e-3)
+
+
+def test_freq_demod_planar():
+    rng = np.random.default_rng(6)
+    C, T = 2, 128
+    phase = np.cumsum(rng.normal(size=(C, T)) * 0.3, axis=1)
+    x = np.exp(1j * phase)
+    last = jnp.asarray(cplx.to_planar(x[:, :1] * 0 + 1.0))  # start at 1+0j
+    y, last2 = freq_demod_planar(jnp.asarray(cplx.to_planar(x)), last)
+    got = np.asarray(y)
+    prev = np.concatenate([np.ones((C, 1)), x[:, :-1]], axis=1)
+    exp = np.angle(x * np.conj(prev))
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+# ---------------------------------------------------------------------- #
+# Mesh sharding on the virtual CPU mesh
+# ---------------------------------------------------------------------- #
+def test_channel_sharded_chain():
+    from pothoscomms_tpu.parallel.mesh import make_mesh, channel_sharded_fir_fft
+
+    n = min(8, len(jax.devices()))
+    mesh = make_mesh(n, "ch")
+    rng = np.random.default_rng(7)
+    C, T, NB, K = 2 * n, 512, 128, 9
+    taps = rng.normal(size=K) / K
+    run, init_hist = channel_sharded_fir_fft(mesh, taps, NB)
+    x = rng.normal(size=(C, T)) + 1j * rng.normal(size=(C, T))
+    with mesh:
+        spec, hist = run(jnp.asarray(cplx.to_planar(x)), init_hist(C))
+    assert spec.shape == (C, T // NB, NB, 2)
+    y0 = np.convolve(x[0], taps, mode="full")[:T]
+    exp = np.fft.fft(y0[:NB])
+    np.testing.assert_allclose(
+        cplx.from_planar(np.asarray(spec[0, 0])), exp, atol=2e-3
+    )
+
+
+def test_time_sharded_fir_halo_exchange():
+    from pothoscomms_tpu.parallel.mesh import make_mesh, time_sharded_fir
+    from pothoscomms_tpu.parallel.chain import fir_multichannel
+
+    n = min(8, len(jax.devices()))
+    mesh = make_mesh(n, "t")
+    rng = np.random.default_rng(8)
+    C, K = 3, 7
+    T = 64 * n
+    taps = rng.normal(size=K) + 1j * rng.normal(size=K)
+    run = time_sharded_fir(mesh, taps)
+    x = rng.normal(size=(C, T)) + 1j * rng.normal(size=(C, T))
+    carry = jnp.zeros((C, K - 1, 2), jnp.float32)
+    with mesh:
+        y, carry2 = run(jnp.asarray(cplx.to_planar(x)), carry)
+    kern = complex_fir_kernel(taps)
+    y_ref, hist_ref = fir_multichannel(
+        jnp.asarray(cplx.to_planar(x)), carry, kern, 1
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+    # carry comes back as the global stream tail
+    np.testing.assert_allclose(
+        cplx.from_planar(np.asarray(carry2)), x[:, -(K - 1):], atol=1e-5
+    )
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    spec, hist = out
+    assert spec.shape[0] == args[0].shape[0]
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    n = min(8, len(jax.devices()))
+    ge.dryrun_multichip(n)
