@@ -14,3 +14,5 @@ from pothoscomms_tpu.blocks import filter  # noqa: F401
 from pothoscomms_tpu.blocks import window  # noqa: F401
 from pothoscomms_tpu.blocks import utility  # noqa: F401
 from pothoscomms_tpu.blocks import digital  # noqa: F401
+from pothoscomms_tpu.blocks import framing  # noqa: F401
+from pothoscomms_tpu.blocks import demod  # noqa: F401

@@ -12,6 +12,7 @@ import numpy as np
 
 from pothoscomms_tpu.core.block import Block
 from pothoscomms_tpu.core.dtypes import DType
+from pothoscomms_tpu.core.labels import Label
 from pothoscomms_tpu.core.registry import register_block
 
 
@@ -93,3 +94,145 @@ class SignalProbe(Block):
         elif self._mode == "MEAN":
             self._value = x.mean()
         self.emit_signal("valueChanged", self._value)
+
+
+# ---------------------------------------------------------------------- #
+# /comms/threshold (reference: utility/Threshold.cpp)
+# ---------------------------------------------------------------------- #
+@register_block("/comms/threshold", "/blocks/threshold")
+class Threshold(Block):
+    """Hysteresis comparator: posts activation/deactivation labels at
+    crossing indices and forwards the stream (reference :117-149)."""
+
+    def __init__(self, dtype="float32"):
+        super().__init__()
+        self.dtype = DType.parse(dtype)
+        if self.dtype.is_complex or self.dtype.kind == "uint":
+            raise ValueError("threshold supports real signed dtypes")
+        self.setup_input(0, self.dtype)
+        self.setup_output(0, self.dtype)
+        self._activation_level = 0
+        self._deactivation_level = 0
+        self._activation_id = ""
+        self._deactivation_id = ""
+        self._active_state = False
+
+    def set_activation_level(self, level):
+        self._activation_level = level
+
+    def get_activation_level(self):
+        return self._activation_level
+
+    def set_deactivation_level(self, level):
+        self._deactivation_level = level
+
+    def get_deactivation_level(self):
+        return self._deactivation_level
+
+    def set_activation_id(self, label_id: str):
+        self._activation_id = label_id
+
+    def get_activation_id(self) -> str:
+        return self._activation_id
+
+    def set_deactivation_id(self, label_id: str):
+        self._deactivation_id = label_id
+
+    def get_deactivation_id(self) -> str:
+        return self._deactivation_id
+
+    def activate(self):
+        self._active_state = False
+
+    def work(self):
+        port = self.input(0)
+        out = self.output(0)
+        n = port.elements()
+        if n == 0:
+            return
+        buf = np.asarray(port.buffer(n))
+        # candidate crossing samples; state walk only visits those
+        above = buf > self._activation_level
+        below = buf < self._deactivation_level
+        labels = []
+        state = self._active_state
+        for i in np.nonzero(above | below)[0]:
+            if not state and above[i]:
+                state = True
+                if self._activation_id:
+                    labels.append(Label(self._activation_id, None, int(i)))
+            elif state and below[i]:
+                state = False
+                if self._deactivation_id:
+                    labels.append(Label(self._deactivation_id, None, int(i)))
+        self._active_state = bool(state)
+        port.consume(n)
+        out.post(buf.copy(), labels)
+
+
+# ---------------------------------------------------------------------- #
+# /comms/split_complex, /comms/combine_complex
+# (reference: utility/SplitComplex.cpp, utility/CombineComplex.cpp)
+# ---------------------------------------------------------------------- #
+@register_block("/comms/split_complex")
+class SplitComplex(Block):
+    """complex -> named "re"/"im" output ports (reference :39-66)."""
+
+    def __init__(self, dtype="float32"):
+        super().__init__()
+        scalar = DType.parse(dtype)
+        if scalar.is_complex:
+            scalar = scalar.scalar
+        self.dtype = DType.parse("complex_" + scalar.name)
+        self.scalar = scalar
+        self.setup_input(0, self.dtype)
+        self.setup_output("re", scalar)
+        self.setup_output("im", scalar)
+
+    def work(self):
+        port = self.input(0)
+        n = port.elements()
+        if n == 0:
+            return
+        buf = np.asarray(port.buffer(n))
+        if self.dtype.is_complex_int:
+            re, im = buf[..., 0], buf[..., 1]
+        else:
+            re, im = buf.real, buf.imag
+        port.consume(n)
+        self.output("re").post(re.astype(self.scalar.np))
+        self.output("im").post(im.astype(self.scalar.np))
+
+
+@register_block("/comms/combine_complex")
+class CombineComplex(Block):
+    """named "re"+"im" input ports -> complex (reference
+    CombineComplex.cpp)."""
+
+    def __init__(self, dtype="float32"):
+        super().__init__()
+        scalar = DType.parse(dtype)
+        if scalar.is_complex:
+            scalar = scalar.scalar
+        self.dtype = DType.parse("complex_" + scalar.name)
+        self.scalar = scalar
+        self.setup_input("re", scalar)
+        self.setup_input("im", scalar)
+        self.setup_output(0, self.dtype)
+
+    def work(self):
+        re_port, im_port = self.input("re"), self.input("im")
+        n = min(re_port.elements(), im_port.elements())
+        if n == 0:
+            return
+        re = np.asarray(re_port.buffer(n))
+        im = np.asarray(im_port.buffer(n))
+        if self.dtype.is_complex_int:
+            out = np.stack([re, im], axis=-1)
+        else:
+            out = (re.astype(np.float64) + 1j * im.astype(np.float64)).astype(
+                self.dtype.np
+            )
+        re_port.consume(n)
+        im_port.consume(n)
+        self.output(0).post(out)

@@ -254,6 +254,107 @@ class FiniteRelease(Block):
         port.consume(n)  # drop any excess beyond the quota
 
 
+@register_block("/blocks/packet_to_stream", "/comms_tpu/packet_to_stream")
+class PacketToStream(Block):
+    """Convert packets to a stream with frameStart/frameEnd labels
+    (Pothos-core fixture used by digital/TestFramerToCorrelator.cpp)."""
+
+    def __init__(self):
+        super().__init__()
+        self.setup_input(0)
+        self.setup_output(0)
+        self._frame_start_id = ""
+        self._frame_end_id = ""
+
+    def set_frame_start_id(self, label_id: str):
+        self._frame_start_id = label_id
+
+    def set_frame_end_id(self, label_id: str):
+        self._frame_end_id = label_id
+
+    def set_name(self, name: str):
+        self.name = name
+
+    def work(self):
+        port = self.input(0)
+        out = self.output(0)
+        while port.has_message():
+            msg = port.pop_message()
+            if not isinstance(msg, Packet):
+                out.post_message(msg)
+                continue
+            payload = np.asarray(msg.payload)
+            n = len(payload)
+            labels = []
+            if self._frame_start_id:
+                labels.append(Label(self._frame_start_id, n, 0))
+            if self._frame_end_id and n:
+                labels.append(Label(self._frame_end_id, n, n - 1))
+            out.post(payload, labels)
+        # forward any stream data untouched
+        n = port.elements()
+        if n:
+            buf = np.array(port.buffer(n), copy=True)
+            port.consume(n)
+            out.post(buf)
+
+
+@register_block("/blocks/stream_to_packet", "/comms_tpu/stream_to_packet")
+class StreamToPacket(Block):
+    """Extract MTU-sized packets at frameStart labels (Pothos-core
+    fixture; inverse of PacketToStream for loopback tests)."""
+
+    def __init__(self):
+        super().__init__()
+        self.setup_input(0)
+        self.setup_output(0)
+        self._frame_start_id = ""
+        self._mtu = 0
+
+    def set_frame_start_id(self, label_id: str):
+        self._frame_start_id = label_id
+
+    def set_mtu(self, mtu: int):
+        self._mtu = int(mtu)
+
+    # reference camelCase alias
+    setMTU = set_mtu
+
+    def work(self):
+        port = self.input(0)
+        out = self.output(0)
+        n = port.elements()
+        if n == 0:
+            return
+        if not self._frame_start_id:
+            port.consume(n)
+            return
+        # find the first start label with a full MTU available after it
+        starts = sorted(
+            (lb for lb in port.labels
+             if lb.id == self._frame_start_id and lb.index < n),
+            key=lambda l: l.index,
+        )
+        if not starts:
+            port.consume(n)  # no frame in sight: drop searched samples
+            return
+        lb = starts[0]
+        if lb.index + self._mtu > n:
+            port.set_reserve(lb.index + self._mtu)
+            return
+        port.set_reserve(0)
+        buf = np.asarray(port.buffer(n))
+        payload = buf[lb.index: lb.index + self._mtu].copy()
+        out.post_message(Packet(payload))
+        # consume through the packet, dropping its labels
+        port.labels = [l for l in port.labels
+                       if not (lb.index <= l.index < lb.index + self._mtu)]
+        port.consume(lb.index + self._mtu)
+
+    def propagate_labels(self, port, labels):
+        pass
+
+
 @register_block("/blocks/black_hole", "/comms_tpu/black_hole")
 class BlackHole(Block):
     def __init__(self, dtype=None):

@@ -1,0 +1,422 @@
+"""Framing & sync PHY tests.
+
+Mirrors digital/TestPreambleFramer.cpp, TestPreambleCorrelator.cpp,
+TestFramerToCorrelator.cpp (randomized loopback through a re-chunking
+copier), plus end-to-end frame_insert -> channel -> frame_sync links with
+scale/phase/frequency impairments, and the demod/utility blocks.
+"""
+
+import numpy as np
+import pytest
+
+from pothoscomms_tpu import BlockRegistry, Label, Packet, Topology
+from pothoscomms_tpu.blocks.framing import (
+    NUM_HEADER_BITS,
+    decode_header_word,
+    encode_header_word,
+    encode_hamming84,
+    decode_hamming84,
+    header_checksum,
+)
+from pothoscomms_tpu.core.fixtures import CollectorSink, FeederSource
+from pothoscomms_tpu.core.testing import assert_buffers_close, assert_buffers_equal
+
+
+# ---------------------------------------------------------------------- #
+# Header codec
+# ---------------------------------------------------------------------- #
+def test_hamming84_roundtrip_and_correction():
+    for x in range(16):
+        bits = encode_hamming84(x)
+        got, err = decode_hamming84(bits)
+        assert got == x and not err
+        # single-bit error corrected
+        for flip in range(8):
+            b = bits.copy()
+            b[flip] ^= 1
+            got, err = decode_hamming84(b)
+            assert got == x, f"x={x} flip={flip}"
+
+
+def test_header_word_roundtrip():
+    for hid, length in [(0x55, 100), (0xAB, 4095), (0, 1)]:
+        ck = header_checksum(hid, length)
+        bits = encode_header_word(hid, length, ck)
+        assert len(bits) == NUM_HEADER_BITS == 58
+        f = decode_header_word(bits)
+        assert f["id"] == hid and f["length"] == length
+        assert f["chksum"] == ck and not f["error"]
+        assert f["chksum"] == header_checksum(f["id"], f["length"])
+
+
+# ---------------------------------------------------------------------- #
+# Preamble framer (reference: TestPreambleFramer.cpp)
+# ---------------------------------------------------------------------- #
+def test_preamble_framer_splices():
+    preamble = np.array([1, 1, 0, 1], np.uint8)
+    data = np.arange(20, dtype=np.uint8) % 2
+    framer = BlockRegistry.make("/comms/preamble_framer")
+    framer.set_preamble(preamble)
+    framer.set_frame_start_id("start")
+    framer.set_frame_end_id("end")
+    framer.set_padding_size(3)
+    feed = FeederSource("uint8")
+    feed.feed_buffer(data, [Label("start", None, 5), Label("end", None, 14)])
+    sink = CollectorSink("uint8")
+    topo = Topology()
+    topo.connect(feed, 0, framer, 0)
+    topo.connect(framer, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    out = sink.get_buffer()
+    exp = np.concatenate([
+        data[:5], preamble, data[5:15], np.zeros(3, np.uint8), data[15:]
+    ])
+    assert_buffers_equal(exp, out)
+    labels = {lb.id: lb.index for lb in sink.get_labels()}
+    assert labels["start"] == 5  # at its own insertion point
+    # the end label is posted after its padding insertion is counted
+    # (reference PreambleFramer.cpp:202-208: offset includes the padding)
+    assert labels["end"] == 14 + len(preamble) + 3
+
+
+# ---------------------------------------------------------------------- #
+# Preamble correlator (reference: TestPreambleCorrelator.cpp)
+# ---------------------------------------------------------------------- #
+def test_preamble_correlator_detects():
+    preamble = np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8)
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 2, 40).astype(np.uint8)
+    data = np.concatenate([noise, preamble, rng.integers(0, 2, 30).astype(np.uint8),
+                           np.zeros(len(preamble), np.uint8)])
+    corr = BlockRegistry.make("/comms/preamble_correlator")
+    corr.set_preamble(preamble)
+    corr.set_threshold(0)
+    corr.set_frame_start_id("frameStart")
+    feed = FeederSource("uint8")
+    feed.feed_buffer(data)
+    sink = CollectorSink("uint8")
+    topo = Topology()
+    topo.connect(feed, 0, corr, 0)
+    topo.connect(corr, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    # stream forwarded unchanged (minus the lookahead tail)
+    assert_buffers_equal(data[: len(data) - len(preamble)], sink.get_buffer())
+    hits = [lb.index for lb in sink.get_labels() if lb.id == "frameStart"]
+    assert 40 + len(preamble) in hits
+
+
+def test_preamble_correlator_threshold_tolerance():
+    preamble = np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8)
+    corrupted = preamble.copy()
+    corrupted[3] ^= 1  # one bit error
+    data = np.concatenate([corrupted, np.zeros(len(preamble) + 4, np.uint8)])
+    for threshold, expect_hit in [(0, False), (1, True)]:
+        corr = BlockRegistry.make("/comms/preamble_correlator")
+        corr.set_preamble(preamble)
+        corr.set_threshold(threshold)
+        feed = FeederSource("uint8")
+        feed.feed_buffer(data)
+        sink = CollectorSink("uint8")
+        topo = Topology()
+        topo.connect(feed, 0, corr, 0)
+        topo.connect(corr, 0, sink, 0)
+        topo.commit()
+        assert topo.wait_inactive()
+        hits = [lb for lb in sink.get_labels()
+                if lb.id == "frameStart" and lb.index == len(preamble)]
+        assert bool(hits) == expect_hit, f"threshold={threshold}"
+
+
+# ---------------------------------------------------------------------- #
+# Framer -> correlator loopback (reference: TestFramerToCorrelator.cpp)
+# ---------------------------------------------------------------------- #
+def test_framer_to_correlator_loopback():
+    rng = np.random.default_rng(7)
+    mtu = 107
+    preamble = rng.integers(0, 2, 32).astype(np.uint8)
+    payloads = [rng.integers(0, 2, mtu).astype(np.uint8) for _ in range(6)]
+
+    feeder = FeederSource("uint8")
+    for p in payloads:
+        feeder.feed_packet(Packet(p))
+    # padding to flush the correlator window
+    feeder.feed_packet(Packet(np.zeros(len(preamble), np.uint8)))
+
+    generator = BlockRegistry.make("/blocks/packet_to_stream")
+    generator.set_frame_start_id("txFrameStart")
+    generator.set_frame_end_id("txFrameEnd")
+    framer = BlockRegistry.make("/comms/preamble_framer")
+    framer.set_preamble(preamble)
+    framer.set_frame_start_id("txFrameStart")
+    framer.set_frame_end_id("txFrameEnd")
+    framer.set_padding_size(10)
+    copier = BlockRegistry.make("/blocks/copier", 3)  # random re-chunking
+    corr = BlockRegistry.make("/comms/preamble_correlator")
+    corr.set_preamble(preamble)
+    corr.set_threshold(0)
+    corr.set_frame_start_id("rxFrameStart")
+    deframer = BlockRegistry.make("/blocks/stream_to_packet")
+    deframer.set_frame_start_id("rxFrameStart")
+    deframer.set_mtu(mtu)
+    sink = CollectorSink("uint8")
+
+    topo = Topology()
+    topo.connect(feeder, 0, generator, 0)
+    topo.connect(generator, 0, framer, 0)
+    topo.connect(framer, 0, copier, 0)
+    topo.connect(copier, 0, corr, 0)
+    topo.connect(corr, 0, deframer, 0)
+    topo.connect(deframer, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+
+    assert len(sink.packets) >= len(payloads)
+    for pkt, exp in zip(sink.packets, payloads):
+        assert_buffers_equal(exp, pkt.payload)
+
+
+# ---------------------------------------------------------------------- #
+# Frame insert -> frame sync end-to-end
+# ---------------------------------------------------------------------- #
+def test_frame_insert_structure():
+    # frame_insert output = symbolWidth-repeated preamble + BPSK header
+    insert = BlockRegistry.make("/comms/frame_insert", "complex_float64")
+    insert.set_symbol_width(4)
+    insert.set_preamble([1 + 0j])
+    insert.set_header_id(0x55)
+    insert.set_frame_start_id("s")
+    insert.set_frame_end_id("")
+    data = np.ones(10, np.complex128) * (0.5 + 0.5j)
+    feed = FeederSource("complex_float64")
+    feed.feed_buffer(data, [Label("s", 7, 2, 1)])
+    sink = CollectorSink("complex_float64")
+    topo = Topology()
+    topo.connect(feed, 0, insert, 0)
+    topo.connect(insert, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    out = sink.get_buffer()
+    assert len(out) == 10 + 4 + NUM_HEADER_BITS
+    # preamble region
+    assert_buffers_equal(data[:2], out[:2])
+    assert_buffers_equal(np.ones(4, np.complex128), out[2:6])
+    # header BPSK region: +-1 values
+    hdr = out[6: 6 + NUM_HEADER_BITS].real
+    assert set(np.unique(hdr)) <= {-1.0, 1.0}
+    ck = header_checksum(0x55, 7)
+    exp_bits = encode_header_word(0x55, 7, ck)
+    assert_buffers_equal(np.where(exp_bits != 0, 1.0, -1.0), hdr)
+    # payload follows
+    assert_buffers_equal(data[2:], out[6 + NUM_HEADER_BITS:])
+
+
+def make_tx_frame(payload_syms, data_width, symbol_width, header_id=0x55,
+                  preamble=(1.0,)):
+    """Build a transmitted frame the way frame_sync expects: preamble
+    symbols at symbol_width*data_width samples each, header bits at
+    data_width samples per bit, payload at data_width samples/symbol."""
+    preamble = np.asarray(preamble, np.complex128)
+    sync = np.repeat(preamble, symbol_width * data_width)
+    length = len(payload_syms)
+    ck = header_checksum(header_id, length)
+    bits = encode_header_word(header_id, length, ck)
+    sym = preamble[-1]
+    hdr = np.repeat(np.where(bits != 0, sym, -sym), data_width)
+    payload = np.repeat(np.asarray(payload_syms, np.complex128), data_width)
+    return np.concatenate([sync, hdr, payload])
+
+
+@pytest.mark.parametrize("mode", ["RAW", "PHASE"])
+def test_frame_sync_finds_frame(mode):
+    rng = np.random.default_rng(21)
+    data_width, symbol_width = 4, 20
+    payload_syms = rng.integers(0, 2, 40) * 2.0 - 1.0
+    frame = make_tx_frame(payload_syms, data_width, symbol_width)
+    # channel: attenuation + static phase + small freq offset + idle gaps
+    scale_ch = 0.5
+    phi = 0.7
+    dfc = 2e-4
+    n_pre, n_post = 500, 800
+    sig = np.concatenate([
+        np.zeros(n_pre, np.complex128), frame,
+        np.zeros(n_post, np.complex128),
+    ])
+    sig = sig * scale_ch * np.exp(1j * (phi + dfc * np.arange(len(sig))))
+
+    fs = BlockRegistry.make("/comms/frame_sync", "complex_float64")
+    fs.set_output_mode(mode)
+    fs.set_preamble([1.0])
+    fs.set_symbol_width(symbol_width)
+    fs.set_data_width(data_width)
+    fs.set_frame_start_id("rxStart")
+    fs.set_frame_end_id("rxEnd")
+    fs.set_phase_offset_id("phOff")
+    fs.set_input_threshold(0.01)
+    feed = FeederSource("complex_float64")
+    feed.feed_buffer(sig.astype(np.complex128))
+    sink = CollectorSink("complex_float64")
+    topo = Topology()
+    topo.connect(feed, 0, fs, 0)
+    topo.connect(fs, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+
+    labels = {lb.id: lb for lb in sink.get_labels()}
+    assert "rxStart" in labels, "frame not detected"
+    assert labels["rxStart"].data == len(payload_syms)
+    assert labels["rxEnd"].index == (len(payload_syms) - 1) * data_width
+    out = sink.get_buffer()
+    start = labels["rxStart"].index
+    assert len(out) >= start + len(payload_syms) * data_width
+
+    # Decode the BPSK payload from the synchronized output. With
+    # rectangular pulses the reference's optimal-sampling-offset search
+    # (FrameSync.cpp:709-721) settles at the END of the first header bit,
+    # so the stream alignment can sit one symbol late — accept either
+    # alignment (a pulse-shaped link has an unambiguous mid-bit peak).
+    seg = out[start:]
+
+    def decode(shift):
+        idx = np.arange(len(payload_syms) - 1) * data_width
+        samples = seg[idx]
+        exp = payload_syms[shift: shift + len(samples)]
+        if mode == "PHASE":
+            dec = np.sign(samples.real)
+        else:
+            rot = samples * np.conj(exp)
+            mean_ph = np.angle(rot.sum())
+            dec = np.sign((samples * np.exp(-1j * mean_ph)).real)
+        return np.array_equal(dec, exp), samples
+
+    ok0, s0 = decode(0)
+    ok1, s1 = decode(1)
+    assert ok0 or ok1, "payload bits wrong at both alignments"
+    if mode == "PHASE":
+        # amplitude restored to ~1 by the scale estimate
+        samples = s1 if ok1 else s0
+        assert np.allclose(np.abs(samples), 1.0, atol=0.15)
+
+
+def test_frame_sync_rejects_wrong_id():
+    rng = np.random.default_rng(22)
+    data_width, symbol_width = 4, 20
+    payload_syms = rng.integers(0, 2, 30) * 2.0 - 1.0
+    frame = make_tx_frame(payload_syms, data_width, symbol_width,
+                          header_id=0x12)  # not the sync's id
+    sig = np.concatenate([np.zeros(300, np.complex128), frame,
+                          np.zeros(600, np.complex128)])
+    fs = BlockRegistry.make("/comms/frame_sync", "complex_float64")
+    fs.set_preamble([1.0])
+    fs.set_symbol_width(symbol_width)
+    fs.set_data_width(data_width)
+    fs.set_header_id(0x55)
+    fs.set_frame_start_id("rxStart")
+    feed = FeederSource("complex_float64")
+    feed.feed_buffer(sig)
+    sink = CollectorSink("complex_float64")
+    topo = Topology()
+    topo.connect(feed, 0, fs, 0)
+    topo.connect(fs, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    assert not [lb for lb in sink.get_labels() if lb.id == "rxStart"]
+
+
+# ---------------------------------------------------------------------- #
+# Threshold (reference: utility/Threshold.cpp)
+# ---------------------------------------------------------------------- #
+def test_threshold_hysteresis_labels():
+    x = np.array([0, 1, 5, 6, 5, 3, 0, -1, 5, 6, 0], np.float32)
+    blk = BlockRegistry.make("/comms/threshold", "float32")
+    blk.set_activation_level(4.0)
+    blk.set_deactivation_level(2.0)
+    blk.set_activation_id("on")
+    blk.set_deactivation_id("off")
+    feed = FeederSource("float32")
+    feed.feed_buffer(x)
+    sink = CollectorSink("float32")
+    topo = Topology()
+    topo.connect(feed, 0, blk, 0)
+    topo.connect(blk, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    assert_buffers_equal(x, sink.get_buffer())
+    events = [(lb.id, lb.index) for lb in sink.get_labels()]
+    assert events == [("on", 2), ("off", 6), ("on", 8), ("off", 10)]
+
+
+# ---------------------------------------------------------------------- #
+# Split/Combine complex (reference: utility/SplitComplex.cpp)
+# ---------------------------------------------------------------------- #
+def test_split_combine_roundtrip():
+    rng = np.random.default_rng(9)
+    x = (rng.normal(size=64) + 1j * rng.normal(size=64)).astype(np.complex64)
+    split = BlockRegistry.make("/comms/split_complex", "float32")
+    comb = BlockRegistry.make("/comms/combine_complex", "float32")
+    feed = FeederSource("complex_float32")
+    feed.feed_buffer(x)
+    sink = CollectorSink("complex_float32")
+    topo = Topology()
+    topo.connect(feed, 0, split, 0)
+    topo.connect(split, "re", comb, "re")
+    topo.connect(split, "im", comb, "im")
+    topo.connect(comb, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    assert_buffers_equal(x, sink.get_buffer())
+
+
+# ---------------------------------------------------------------------- #
+# FreqDemod (reference: demod/FreqDemod.cpp)
+# ---------------------------------------------------------------------- #
+def test_freq_demod_float():
+    rng = np.random.default_rng(10)
+    phase = np.cumsum(rng.normal(size=200) * 0.2)
+    x = np.exp(1j * phase).astype(np.complex64)
+    blk = BlockRegistry.make("/comms/freq_demod", "complex_float32")
+    feed = FeederSource("complex_float32")
+    feed.feed_buffer(x)
+    sink = CollectorSink("float32")
+    topo = Topology()
+    topo.connect(feed, 0, blk, 0)
+    topo.connect(blk, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    out = sink.get_buffer()
+    prev = np.concatenate([[0], x[:-1].conj()])  # reference starts prev=0
+    exp = np.angle(x * prev).astype(np.float32)
+    assert_buffers_close(exp, out, 1e-5)
+    # after the first sample this is the phase increment
+    assert_buffers_close(np.diff(phase).astype(np.float32), out[1:], 1e-4)
+
+
+def test_freq_demod_int16_fxpt():
+    # integer path: product in C complex<int> arithmetic, angle via
+    # fxpt_atan2 in full-turn units
+    from pothoscomms_tpu.core.testing import to_complex_int
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-100, 100, 50) + 1j * rng.integers(-100, 100, 50)
+    ci = to_complex_int(vals, "complex_int16")
+    blk = BlockRegistry.make("/comms/freq_demod", "complex_int16")
+    feed = FeederSource("complex_int16")
+    feed.feed_buffer(ci)
+    sink = CollectorSink("int16")
+    topo = Topology()
+    topo.connect(feed, 0, blk, 0)
+    topo.connect(blk, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    out = sink.get_buffer()
+    # oracle
+    from tests.test_math import _fxpt_atan2_scalar
+
+    prev = 0
+    exp = []
+    for v in vals:
+        diff = v * prev
+        exp.append(np.int16(_fxpt_atan2_scalar(int(diff.imag), int(diff.real))))
+        prev = np.conj(v)
+    assert_buffers_equal(np.array(exp, np.int16), out)
