@@ -16,3 +16,4 @@ from pothoscomms_tpu.blocks import utility  # noqa: F401
 from pothoscomms_tpu.blocks import digital  # noqa: F401
 from pothoscomms_tpu.blocks import framing  # noqa: F401
 from pothoscomms_tpu.blocks import demod  # noqa: F401
+from pothoscomms_tpu.blocks import mac  # noqa: F401

@@ -50,6 +50,7 @@ class InputPort:
         self._messages: collections.deque = collections.deque()
         self.reserve = 0
         self.total_consumed = 0
+        self.total_popped = 0  # monotonic: messages popped (progress)
         self._consumed_this_work = 0
         # upstream output port, set on connect (for introspection)
         self.upstream: Optional["OutputPort"] = None
@@ -98,6 +99,7 @@ class InputPort:
         return len(self._messages) > 0
 
     def pop_message(self) -> Any:
+        self.total_popped += 1
         return self._messages.popleft()
 
     def push_message(self, msg: Any) -> None:

@@ -108,16 +108,20 @@ class Topology:
     # ------------------------------------------------------------------ #
     # Execution
     # ------------------------------------------------------------------ #
-    def _state_fingerprint(self) -> Tuple[int, int, int, int]:
-        consumed = produced = msgs = quota = 0
+    def _state_fingerprint(self) -> Tuple[int, ...]:
+        # total_popped is monotonic so a message posted and popped within
+        # one round registers as progress; the pending count catches a
+        # message still waiting for a block earlier in the schedule
+        consumed = produced = msgs = pending = quota = 0
         for blk in self.blocks:
             quota += blk._source_quota
             for p in blk.inputs.values():
                 consumed += p.total_consumed
-                msgs += len(p._messages)
+                msgs += p.total_popped
+                pending += len(p._messages)
             for o in blk.outputs.values():
                 produced += o.total_produced
-        return (consumed, produced, msgs, quota)
+        return (consumed, produced, msgs, pending, quota)
 
     def _run_once(self) -> bool:
         """One scheduling round over all blocks; True if any progress."""

@@ -1,0 +1,191 @@
+"""MAC/LLC tests (reference: mac/TestSimpleLlc.cpp — two full stacks
+wired back-to-back in both directions, zero-error delivery) plus CRC and
+loss-recovery checks (the reference's disabled 'harsh' test, tamed with
+deterministic drops)."""
+
+import numpy as np
+import pytest
+
+from pothoscomms_tpu import Block, BlockRegistry, Packet, Topology
+from pothoscomms_tpu.blocks.mac import crc8
+from pothoscomms_tpu.core.fixtures import CollectorSink, FeederSource
+from pothoscomms_tpu.core.testing import assert_buffers_equal
+
+
+def test_crc8_known_values():
+    # x^8+x^2+x+1 (CRC-8-ATM/ITU zero-init variant from vboot)
+    assert crc8([0]) == 0
+    assert crc8([1, 2, 3]) == crc8(np.array([1, 2, 3], np.uint8))
+    # differs on any single-bit change
+    base = crc8([0x55, 0xAA, 0x12])
+    assert crc8([0x55, 0xAA, 0x13]) != base
+
+
+def test_simple_mac_roundtrip():
+    tx = BlockRegistry.make("/comms/simple_mac")
+    tx.set_mac_id(0xA)
+    rx = BlockRegistry.make("/comms/simple_mac")
+    rx.set_mac_id(0xB)
+    feed = FeederSource("uint8")
+    payload = np.arange(50, dtype=np.uint8)
+    feed.feed_packet(Packet(payload, metadata={"recipient": 0xB}))
+    sink = CollectorSink("uint8")
+    topo = Topology()
+    topo.connect(feed, 0, tx, "macIn")
+    topo.connect(tx, "phyOut", rx, "phyIn")
+    topo.connect(rx, "macOut", sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    assert rx.get_error_count() == 0
+    assert len(sink.packets) == 1
+    assert_buffers_equal(payload, sink.packets[0].payload)
+    # reply-to semantics: metadata recipient = the sender's id
+    assert sink.packets[0].metadata["recipient"] == 0xA
+
+
+def test_simple_mac_drops_bad():
+    rx = BlockRegistry.make("/comms/simple_mac")
+    rx.set_mac_id(0xB)
+    feed = FeederSource("uint8")
+    # short packet
+    feed.feed_packet(Packet(np.zeros(3, np.uint8)))
+    # wrong recipient
+    frame = np.zeros(12, np.uint8)
+    frame[3:5] = [0, 0xC]
+    frame[5:7] = [0, 12]
+    frame[0] = crc8(frame[1:12])
+    feed.feed_packet(Packet(frame.copy()))
+    # corrupted CRC
+    frame2 = frame.copy()
+    frame2[3:5] = [0, 0xB]
+    frame2[0] = crc8(frame2[1:12]) ^ 0xFF
+    feed.feed_packet(Packet(frame2))
+    sink = CollectorSink("uint8")
+    topo = Topology()
+    topo.connect(feed, 0, rx, "phyIn")
+    topo.connect(rx, "macOut", sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    assert len(sink.packets) == 0
+    assert rx.get_error_count() == 3
+
+
+def build_two_stacks(loss_a2b=None, loss_b2a=None, seed=1):
+    """Wire two LLC+MAC stacks back to back (reference test topology,
+    TestSimpleLlc.cpp:56-77); optional lossy links."""
+    port = 123
+    feedA, feedB = FeederSource("uint8"), FeederSource("uint8")
+    collA, collB = CollectorSink("uint8"), CollectorSink("uint8")
+    llcA = BlockRegistry.make("/comms/simple_llc", seed)
+    llcA.set_recipient(0xB)
+    llcA.set_port(port)
+    llcB = BlockRegistry.make("/comms/simple_llc", seed + 1)
+    llcB.set_recipient(0xA)
+    llcB.set_port(port)
+    macA = BlockRegistry.make("/comms/simple_mac")
+    macA.set_mac_id(0xA)
+    macB = BlockRegistry.make("/comms/simple_mac")
+    macB.set_mac_id(0xB)
+
+    topo = Topology()
+    topo.connect(feedA, 0, llcA, "dataIn")
+    topo.connect(llcA, "dataOut", collA, 0)
+    topo.connect(llcA, "macOut", macA, "macIn")
+    topo.connect(macA, "macOut", llcA, "macIn")
+    topo.connect(feedB, 0, llcB, "dataIn")
+    topo.connect(llcB, "dataOut", collB, 0)
+    topo.connect(llcB, "macOut", macB, "macIn")
+    topo.connect(macB, "macOut", llcB, "macIn")
+
+    if loss_a2b is None:
+        topo.connect(macA, "phyOut", macB, "phyIn")
+        topo.connect(macB, "phyOut", macA, "phyIn")
+    else:
+        topo.connect(macA, "phyOut", loss_a2b, 0)
+        topo.connect(loss_a2b, 0, macB, "phyIn")
+        topo.connect(macB, "phyOut", loss_b2a, 0)
+        topo.connect(loss_b2a, 0, macA, "phyIn")
+    return topo, (feedA, feedB), (collA, collB), (llcA, llcB), (macA, macB)
+
+
+def test_two_stack_bidirectional_loopback():
+    rng = np.random.default_rng(2)
+    pktA2B = rng.integers(0, 256, 100).astype(np.uint8)
+    pktB2A = rng.integers(0, 256, 100).astype(np.uint8)
+    topo, (feedA, feedB), (collA, collB), llcs, macs = build_two_stacks()
+    feedA.feed_packet(Packet(pktA2B.copy()))
+    feedB.feed_packet(Packet(pktB2A.copy()))
+    topo.commit()
+    assert topo.wait_inactive(timeout=5.0)
+    assert macs[0].get_error_count() == 0
+    assert macs[1].get_error_count() == 0
+    assert len(collB.packets) == 1
+    assert_buffers_equal(pktA2B, collB.packets[0].payload)
+    assert len(collA.packets) == 1
+    assert_buffers_equal(pktB2A, collA.packets[0].payload)
+
+
+def test_multi_packet_in_order_delivery():
+    rng = np.random.default_rng(3)
+    payloads = [rng.integers(0, 256, 20 + i).astype(np.uint8)
+                for i in range(10)]
+    topo, (feedA, _), (_, collB), llcs, macs = build_two_stacks(seed=5)
+    for p in payloads:
+        feedA.feed_packet(Packet(p.copy()))
+    topo.commit()
+    assert topo.wait_inactive(timeout=5.0)
+    assert len(collB.packets) == len(payloads)
+    for got, exp in zip(collB.packets, payloads):
+        assert_buffers_equal(exp, got.payload)
+
+
+class PacketDropper(Block):
+    """Deterministic packet dropper (stand-in for Pothos-core
+    /blocks/sporadic_dropper in the harsh test)."""
+
+    def __init__(self, drop_indices):
+        super().__init__()
+        self.setup_input(0)
+        self.setup_output(0)
+        self._drop = set(drop_indices)
+        self._count = 0
+
+    def work(self):
+        port = self.input(0)
+        while port.has_message():
+            msg = port.pop_message()
+            if self._count not in self._drop:
+                self.output(0).post_message(msg)
+            self._count += 1
+
+
+def test_arq_recovers_from_loss():
+    rng = np.random.default_rng(4)
+    payloads = [rng.integers(0, 256, 30).astype(np.uint8) for _ in range(5)]
+    # drop some early PHY frames in each direction; ARQ must recover
+    dropA2B = PacketDropper({1, 3})
+    dropB2A = PacketDropper({2})
+    topo, (feedA, _), (_, collB), (llcA, llcB), macs = build_two_stacks(
+        dropA2B, dropB2A, seed=7
+    )
+    llcA.set_resend_timeout(0.005)
+    llcA.set_expire_timeout(2.0)
+    llcB.set_resend_timeout(0.005)
+    llcB.set_expire_timeout(2.0)
+    for p in payloads:
+        feedA.feed_packet(Packet(p.copy()))
+    topo.commit()
+    assert topo.wait_inactive(timeout=10.0)
+    assert llcA.getExpiredCount() == 0
+    assert len(collB.packets) == len(payloads)
+    for got, exp in zip(collB.packets, payloads):
+        assert_buffers_equal(exp, got.payload)
+    assert llcA.getResendCount() > 0  # recovery actually exercised
+
+
+def test_llc_probes_registered():
+    llc = BlockRegistry.make("/comms/simple_llc", 0)
+    assert llc.probe("getResendCount") == 0
+    assert llc.probe("getExpiredCount") == 0
+    mac = BlockRegistry.make("/comms/simple_mac")
+    assert mac.probe("getErrorCount") == 0
