@@ -13,6 +13,7 @@ import numpy as np
 from pothoscomms_tpu.core.block import Block
 from pothoscomms_tpu.core.dtypes import DType
 from pothoscomms_tpu.core.labels import Label
+from pothoscomms_tpu.core.packet import Packet
 from pothoscomms_tpu.core.registry import register_block
 
 
@@ -202,6 +203,318 @@ class SplitComplex(Block):
         port.consume(n)
         self.output("re").post(re.astype(self.scalar.np))
         self.output("im").post(im.astype(self.scalar.np))
+
+
+# ---------------------------------------------------------------------- #
+# /comms/wave_trigger (reference: utility/WaveTrigger.cpp)
+# ---------------------------------------------------------------------- #
+@register_block("/comms/wave_trigger", "/blocks/wave_trigger")
+class WaveTrigger(Block):
+    """Oscilloscope trigger engine feeding GUI waveform monitors.
+
+    N input ports (aligned or free-running); level trigger with POS/NEG/
+    LEVEL slope and sub-sample interpolated position (reference :735-771),
+    |x| for complex, or label-ID trigger; AUTOMATIC/SEMIAUTOMATIC/NORMAL/
+    PERIODIC/DISABLED modes with event-rate pacing, auto-force timeout and
+    hold-off; multi-window back-to-back capture; one Packet per port per
+    event with labels + metadata {index, position, level} and a "T" label
+    at the trigger point (reference :515-591). The level search itself is
+    vectorized (all crossings found in one comparison pass).
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.setup_input(0)
+        self.setup_output(0)
+        self._num_points = 1024
+        self._num_windows = 1
+        self._alignment = True
+        self._source = 0
+        self._hold_off = 1024
+        self._pos_slope = True
+        self._neg_slope = False
+        self._slope_str = "POS"
+        self._mode_str = "AUTOMATIC"
+        self._level = 0.5
+        self._position = 128
+        self._label_id = ""
+        self._forward_ids = set()
+        self.set_event_rate(1.0)
+        self.set_mode("AUTOMATIC")
+        self.activate()
+
+    # -- configuration (reference :228-384) ------------------------------- #
+    def set_num_ports(self, num_ports: int):
+        for i in range(len(self.inputs), num_ports):
+            self.setup_input(i)
+
+    def set_num_points(self, num_points: int):
+        if num_points == 0:
+            raise ValueError("num points must be positive")
+        self._num_points = int(num_points)
+
+    def get_num_points(self) -> int:
+        return self._num_points
+
+    def set_num_windows(self, num_windows: int):
+        if num_windows == 0:
+            raise ValueError("num windows must be positive")
+        self._num_windows = int(num_windows)
+
+    def get_num_windows(self) -> int:
+        return self._num_windows
+
+    def set_alignment(self, enabled: bool):
+        self._alignment = bool(enabled)
+
+    def get_alignment(self) -> bool:
+        return self._alignment
+
+    def set_hold_off(self, hold_off: int):
+        self._hold_off = int(hold_off)
+        self._hold_off_remaining = min(self._hold_off_remaining,
+                                       self._hold_off) if hasattr(
+            self, "_hold_off_remaining") else 0
+
+    def get_hold_off(self) -> int:
+        return self._hold_off
+
+    def set_source(self, channel: int):
+        if channel >= len(self.inputs):
+            raise ValueError("channel out of range")
+        self._source = int(channel)
+
+    def get_source(self) -> int:
+        return self._source
+
+    def set_event_rate(self, rate: float):
+        if rate <= 0.0:
+            raise ValueError("event rate must be positive")
+        self._event_rate = float(rate)
+        self._event_off_duration = 1.0 / rate
+        self._auto_force_timeout = 1.5 / rate
+
+    def get_event_rate(self) -> float:
+        return self._event_rate
+
+    def set_slope(self, slope: str):
+        if slope == "POS":
+            self._pos_slope, self._neg_slope = True, False
+        elif slope == "NEG":
+            self._pos_slope, self._neg_slope = False, True
+        elif slope == "LEVEL":
+            self._pos_slope, self._neg_slope = True, True
+        else:
+            raise ValueError(f"unknown slope setting {slope}")
+        self._slope_str = slope
+
+    def get_slope(self) -> str:
+        return self._slope_str
+
+    def set_mode(self, mode: str):
+        if mode not in ("AUTOMATIC", "SEMIAUTOMATIC", "NORMAL", "PERIODIC",
+                        "DISABLED"):
+            raise ValueError(f"unknown mode setting {mode}")
+        self._mode_str = mode
+        self._trigger_window_timer = mode == "SEMIAUTOMATIC"
+        self._trigger_timer = mode in ("AUTOMATIC", "PERIODIC")
+        self._trigger_periodic = mode == "PERIODIC"
+        self._trigger_search = mode in ("AUTOMATIC", "SEMIAUTOMATIC",
+                                        "NORMAL")
+
+    def get_mode(self) -> str:
+        return self._mode_str
+
+    def set_level(self, level: float):
+        self._level = float(level)
+
+    def get_level(self) -> float:
+        return self._level
+
+    def set_position(self, position: int):
+        self._position = int(position)
+
+    def get_position(self) -> int:
+        return self._position
+
+    def set_label_id(self, label_id: str):
+        self._label_id = label_id
+
+    def get_label_id(self) -> str:
+        return self._label_id
+
+    def set_ids_list(self, ids):
+        self._forward_ids = set(ids)
+
+    def activate(self):
+        self._points_remaining = 0
+        self._windows_remaining = 0
+        self._hold_off_remaining = 0
+        self._trigger_event_from_level = False
+        self._trigger_event_offset = 0.0
+        self._packets = [Packet(np.zeros(0, np.float32))
+                         for _ in self.inputs]
+        self._last_trigger_time = time.monotonic()
+
+    def propagate_labels(self, port, labels):
+        out = self.output(0)
+        for lb in labels:
+            if lb.id in self._forward_ids:
+                out.post_message(lb)
+
+    # -- trigger search (reference :735-771, vectorized) ------------------ #
+    def _search_level(self, buf: np.ndarray, num_elems: int):
+        x = np.abs(buf[: num_elems + 1]).astype(np.float64) if \
+            np.iscomplexobj(buf) else buf[: num_elems + 1].astype(np.float64)
+        y0 = x[self._position: num_elems]
+        y1 = x[self._position + 1: num_elems + 1]
+        lvl = self._level
+        hit = np.zeros(len(y0), bool)
+        if self._pos_slope:
+            hit |= (y0 < lvl) & (y1 >= lvl)
+        if self._neg_slope:
+            hit |= (y0 > lvl) & (y1 <= lvl)
+        idx = np.nonzero(hit)[0]
+        if idx.size == 0:
+            return None
+        i = int(idx[0]) + self._position
+        frac = (lvl - x[i]) / (x[i + 1] - x[i])
+        return i + frac
+
+    def work(self):
+        out = self.output(0)
+        # forward messages/packets with port index metadata (ref :480-497)
+        for name, port in self.inputs.items():
+            while port.has_message():
+                msg = port.pop_message()
+                if isinstance(msg, Packet):
+                    msg.metadata["index"] = int(name)
+                out.post_message(msg)
+
+        if self._points_remaining == 0:
+            return self._trigger_work()
+
+        first_window = self._windows_remaining == self._num_windows - 1
+        last_window = self._windows_remaining == 0
+        win_points = self._num_points // self._num_windows
+
+        all_acquired = True
+        for name, port in self.inputs.items():
+            idx = int(name)
+            packet = self._packets[idx]
+            acquired = packet.payload.shape[0] // win_points if win_points else 0
+            if acquired + self._windows_remaining == self._num_windows:
+                if not self._alignment:
+                    port.consume(port.elements())
+                continue
+            if port.elements() < self._points_remaining:
+                port.set_reserve(self._points_remaining)
+                all_acquired = False
+                continue
+            buf = np.array(port.buffer(self._points_remaining), copy=True)
+            base = packet.payload.shape[0]
+            for lb in list(port.labels):
+                if lb.index >= len(buf):
+                    break
+                packet.labels.append(lb.shifted(base))
+            if self._trigger_event_from_level and idx == self._source:
+                packet.labels.append(Label("T", None, self._position + base))
+            if first_window:
+                packet.metadata["index"] = idx
+                packet.metadata["position"] = self._trigger_event_offset
+                packet.metadata["level"] = self._level
+            if self._alignment:
+                port.consume(len(buf))
+            else:
+                port.consume(port.elements())
+            port.set_reserve(0)
+            packet.payload = buf if packet.payload.shape[0] == 0 else \
+                np.concatenate([packet.payload, buf])
+
+        if not all_acquired:
+            return
+        if last_window:
+            for i in range(len(self.inputs)):
+                self._packets[i].dtype = None
+                out.post_message(self._packets[i])
+            self._packets = [Packet(np.zeros(0, np.float32))
+                             for _ in self.inputs]
+        self._points_remaining = 0
+        self._hold_off_remaining = self._hold_off
+        self._last_trigger_time = time.monotonic()
+
+    def _trigger_work(self):
+        trig_port = self.input(self._source)
+        time_passed = time.monotonic() - self._last_trigger_time
+        search_enabled = ((self._windows_remaining > 0)
+                          or (time_passed > self._event_off_duration)) and \
+            self._hold_off_remaining == 0
+
+        num_elems = trig_port.elements()
+        all_ready = True
+        for name, port in self.inputs.items():
+            if not self._alignment and port is not trig_port:
+                port.consume(port.elements())
+                continue
+            num_elems = min(num_elems, port.elements())
+            if num_elems > self._position + 1:
+                continue
+            port.set_reserve(self._position + 2)
+            all_ready = False
+        if not all_ready:
+            return
+
+        found = False
+        self._trigger_event_offset = float(self._position)
+        self._trigger_event_from_level = False
+        buf = np.asarray(trig_port.buffer(num_elems))
+        if search_enabled and self._trigger_search:
+            if self._label_id:
+                for lb in sorted(trig_port.labels, key=lambda l: l.index):
+                    if lb.id != self._label_id:
+                        continue
+                    if lb.index < self._position:
+                        continue
+                    if lb.index >= num_elems - 1:
+                        break
+                    found = True
+                    self._trigger_event_offset = float(lb.index)
+                    break
+            else:
+                pos = self._search_level(buf, num_elems - 1)
+                if pos is not None:
+                    found = True
+                    self._trigger_event_offset = pos
+                    self._trigger_event_from_level = True
+            if not found and (self._trigger_timer or (
+                    self._trigger_window_timer
+                    and self._windows_remaining != 0)):
+                found = time_passed > self._auto_force_timeout
+        elif search_enabled and not self._trigger_search:
+            found = self._trigger_timer
+
+        if found:
+            consume = int(self._trigger_event_offset - self._position)
+            self._trigger_event_offset -= consume
+        elif self._hold_off_remaining != 0:
+            consume = min(num_elems, self._hold_off_remaining)
+            self._hold_off_remaining -= consume
+        elif self._trigger_periodic:
+            consume = num_elems
+        else:
+            consume = num_elems - self._position - 1
+
+        for name, port in self.inputs.items():
+            if self._alignment or port is trig_port:
+                port.consume(min(consume, port.elements()))
+
+        if found:
+            if self._windows_remaining == 0:
+                self._windows_remaining = self._num_windows
+            self._windows_remaining -= 1
+            self._points_remaining = self._num_points // self._num_windows
+            for port in self.inputs.values():
+                port.set_reserve(0)
 
 
 @register_block("/comms/combine_complex")
