@@ -358,6 +358,33 @@ class GaloisLFSR:
         self.data = data
         return out
 
+    def scramble_mult(self, bits: np.ndarray) -> np.ndarray:
+        out = np.empty(len(bits), np.uint8)
+        for i in range(len(bits)):
+            o = (int(bits[i]) & 1) ^ self.next()
+            self.data = (self.data & ~1) | o
+            out[i] = o
+        return out
+
+    def descramble_mult(self, bits: np.ndarray) -> np.ndarray:
+        out = np.empty(len(bits), np.uint8)
+        for i in range(len(bits)):
+            b = int(bits[i]) & 1
+            out[i] = b ^ self.next()
+            self.data = (self.data & ~1) | b
+        return out
+
+
+def _make_lfsr(polynomial: int, seed: int):
+    """Native C++ LFSR when available, Python fallback otherwise
+    (pothoscomms_tpu/native: same Galois semantics, ~100x faster on the
+    bit-serial multiplicative recursion)."""
+    from pothoscomms_tpu import native
+
+    if native.available():
+        return native.NativeLfsr(polynomial, seed)
+    return GaloisLFSR(polynomial, seed)
+
 
 class _ScramblerBase(Block):
     def __init__(self):
@@ -368,21 +395,21 @@ class _ScramblerBase(Block):
         self._seed = 1
         self._mode = "multiplicative"
         self._sync_word = ""
-        self._lfsr = GaloisLFSR(1, 1)
+        self._lfsr = _make_lfsr(1, 1)
         self.set_mode("multiplicative")
         self.set_sync("")
         self.set_poly(0x19)
 
     def set_poly(self, polynomial: int):
         self._poly = int(polynomial)
-        self._lfsr = GaloisLFSR(self._poly, self._seed)
+        self._lfsr = _make_lfsr(self._poly, self._seed)
 
     def poly(self) -> int:
         return self._poly
 
     def set_seed(self, seed: int):
         self._seed = int(seed)
-        self._lfsr = GaloisLFSR(self._poly, self._seed)
+        self._lfsr = _make_lfsr(self._poly, self._seed)
 
     def seed(self) -> int:
         return self._seed
@@ -418,13 +445,9 @@ class Scrambler(_ScramblerBase):
             ks = self._lfsr.keystream(n)
             out = x ^ ks
         else:
-            # multiplicative: output bit becomes lfsr bit0 (recursive)
-            out = np.empty(n, np.uint8)
-            lf = self._lfsr
-            for i in range(n):
-                o = x[i] ^ lf.next()
-                lf.data = (lf.data & ~1) | int(o)
-                out[i] = o
+            # multiplicative: output bit becomes lfsr bit0 (recursive;
+            # native C++ kernel when available)
+            out = self._lfsr.scramble_mult(x)
         port.consume(n)
         self.output(0).post(out)
 
@@ -442,13 +465,9 @@ class Descrambler(_ScramblerBase):
             out = x ^ ks
         else:
             # multiplicative descrambler: INPUT bit becomes lfsr bit0 —
-            # self-synchronizing (reference Descrambler.cpp:141-151)
-            out = np.empty(n, np.uint8)
-            lf = self._lfsr
-            for i in range(n):
-                o = x[i] ^ lf.next()
-                lf.data = (lf.data & ~1) | int(x[i])
-                out[i] = o
+            # self-synchronizing (reference Descrambler.cpp:141-151;
+            # native C++ kernel when available)
+            out = self._lfsr.descramble_mult(x)
         port.consume(n)
         self.output(0).post(out)
 

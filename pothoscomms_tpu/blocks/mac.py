@@ -26,7 +26,12 @@ from pothoscomms_tpu.core.registry import register_block
 
 
 def crc8(data) -> int:
-    """CRC-8, x^8 + x^2 + x + 1 (reference: mac/MacHelper.hpp:18-32)."""
+    """CRC-8, x^8 + x^2 + x + 1 (reference: mac/MacHelper.hpp:18-32).
+    Uses the native C++ kernel when available."""
+    from pothoscomms_tpu import native
+
+    if native.available():
+        return native.crc8(data)
     crc = 0
     for b in np.asarray(data, np.uint8):
         crc ^= int(b) << 8

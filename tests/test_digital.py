@@ -481,3 +481,45 @@ def test_byte_order_roundtrip_complex():
     topo.commit()
     assert topo.wait_inactive()
     assert_buffers_equal(data, sink.get_buffer())
+
+
+# ---------------------------------------------------------------------- #
+# Native C++ kernels vs Python fallbacks
+# ---------------------------------------------------------------------- #
+def test_native_lfsr_matches_python():
+    from pothoscomms_tpu import native
+    from pothoscomms_tpu.blocks.digital import GaloisLFSR
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(12)
+    for poly, seed in [(0x19, 1), (0x20001, 0x5A), (0x83, 0xFFFF)]:
+        nat = native.NativeLfsr(poly, seed)
+        py = GaloisLFSR(poly, seed)
+        assert_buffers_equal(py.keystream(500), nat.keystream(500))
+        bits = rng.integers(0, 2, 300).astype(np.uint8)
+        nat2 = native.NativeLfsr(poly, seed)
+        py2 = GaloisLFSR(poly, seed)
+        assert_buffers_equal(py2.scramble_mult(bits), nat2.scramble_mult(bits))
+        nat3 = native.NativeLfsr(poly, seed)
+        py3 = GaloisLFSR(poly, seed)
+        assert_buffers_equal(py3.descramble_mult(bits),
+                             nat3.descramble_mult(bits))
+
+
+def test_native_crc8_matches_python():
+    from pothoscomms_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    for n in (1, 7, 100, 1000):
+        data = rng.integers(0, 256, n).astype(np.uint8)
+        crc = 0
+        for b in data:
+            crc ^= int(b) << 8
+            for _ in range(8):
+                if crc & 0x8000:
+                    crc ^= 0x1070 << 3
+                crc = (crc << 1) & 0xFFFFFF
+        assert native.crc8(data) == (crc >> 8) & 0xFF
