@@ -183,6 +183,9 @@ class Block:
         self._active = False
         self._topology = None
         self._emit_queue = None  # set by Topology.commit to defer signals
+        # observability counters (core/introspect.query_stats)
+        self._work_calls = 0
+        self._work_time = 0.0
         # True for blocks that generate data forever (waveform/noise
         # sources); the executor meters these via a production quota.
         self.unbounded_source = False

