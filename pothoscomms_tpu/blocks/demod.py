@@ -66,3 +66,16 @@ class FreqDemod(Block):
                                     self.dtype.scalar.np)
         port.consume(n)
         self.output(0).post(out)
+
+    def device_core(self, channels: int):
+        """Fused-chain core: FM discriminator over planar [C, T, 2] with a
+        one-sample carry (parallel/chain.freq_demod_planar)."""
+        from pothoscomms_tpu.parallel.chain import freq_demod_planar
+
+        carry0 = jnp.zeros((channels, 1, 2), jnp.float32)
+
+        def step(carry, x):
+            y, last = freq_demod_planar(x, carry)
+            return last, y
+
+        return carry0, step

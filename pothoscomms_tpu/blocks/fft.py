@@ -106,3 +106,19 @@ class FFTBlock(Block):
                 ).reshape(k * nb)
         port.consume(k * nb)
         self.output(0).post(out)
+
+    def device_core(self, channels: int):
+        """Fused-chain core (terminal stage): windowed MXU FFT. Input
+        [C, T, 2] planar with T a multiple of numBins; output
+        [C, T/numBins, numBins, 2] spectra."""
+        from pothoscomms_tpu.parallel.fft import fft_planar
+
+        nb, inverse = self.num_bins, self.inverse
+
+        def step(carry, x):
+            c, t, _ = x.shape
+            frames = x.reshape(c * (t // nb), nb, 2)
+            spec = fft_planar(frames, nb, inverse)
+            return carry, spec.reshape(c, t // nb, nb, 2)
+
+        return (), step

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import List
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pothoscomms_tpu.core.block import Block
@@ -228,6 +229,40 @@ class FIRFilter(Block):
                 new.data = lb.data * self._L / self._M
             out.post_label(new)
 
+    def device_core(self, channels: int):
+        """Fused-chain core: block-Toeplitz matmul FIR over [C, T(, 2)]
+        planar float32; carry = K-1 history samples per channel.
+        Restrictions: decim == interp == 1, <= 128 taps."""
+        from pothoscomms_tpu.parallel.chain import (
+            fir_toeplitz_matrices,
+            fir_multichannel_mm,
+        )
+
+        if self._M != 1 or self._L != 1:
+            raise TypeError("fused FIR core requires decim == interp == 1")
+        if len(self._taps) > 128:
+            raise TypeError("fused FIR core requires <= 128 taps")
+        t0, t1 = fir_toeplitz_matrices(self._taps)
+        k1 = len(self._taps) - 1
+        is_cplx = self.dtype.is_complex
+
+        if is_cplx:
+            carry0 = jnp.zeros((channels, max(k1, 0), 2), jnp.float32)
+
+            def step(carry, x):
+                y, hist = fir_multichannel_mm(x, carry, t0, t1)
+                return hist, y
+        else:
+            carry0 = jnp.zeros((channels, max(k1, 0)), jnp.float32)
+
+            def step(carry, x):
+                xp = jnp.stack([x, jnp.zeros_like(x)], axis=-1)
+                hp = jnp.stack([carry, jnp.zeros_like(carry)], axis=-1)
+                y, hist = fir_multichannel_mm(xp, hp, t0, t1)
+                return hist[..., 0], y[..., 0]
+
+        return carry0, step
+
 
 # ---------------------------------------------------------------------- #
 # /comms/iir_filter (reference: filter/IIRFilter.cpp)
@@ -307,6 +342,38 @@ class IIRFilter(Block):
         port.consume(n)
         self.output(0).post(out)
 
+    def device_core(self, channels: int):
+        """Fused-chain core: DF-II transposed IIR, float32, scan over
+        time with vectorized [order, C(, 2)] state."""
+        b = jnp.asarray(self._b / self._a[0], jnp.float32)
+        a = jnp.asarray(self._a / self._a[0], jnp.float32)
+        order = max(self._b.size, self._a.size) - 1
+        order = max(order, 1)
+        nb, na = self._b.size, self._a.size
+        bp = jnp.zeros(order + 1, jnp.float32).at[:nb].set(b)
+        ap = jnp.zeros(order + 1, jnp.float32).at[:na].set(a)
+        is_cplx = self.dtype.is_complex
+        shape = (order, channels, 2) if is_cplx else (order, channels)
+        carry0 = jnp.zeros(shape, jnp.float32)
+
+        def step(carry, x):
+            # x: [C, T(, 2)] -> scan over time
+            xt = jnp.moveaxis(x, 1, 0)  # [T, C(, 2)]
+
+            def body(z, xn):
+                bcol = bp[1:].reshape((order,) + (1,) * xn.ndim)
+                acol = ap[1:].reshape((order,) + (1,) * xn.ndim)
+                yn = bp[0] * xn + z[0]
+                znew = bcol * xn[None] - acol * yn[None] + jnp.concatenate(
+                    [z[1:], jnp.zeros_like(z[:1])], axis=0
+                )
+                return znew, yn
+
+            z_f, yt = jax.lax.scan(body, carry, xt)
+            return z_f, jnp.moveaxis(yt, 0, 1)
+
+        return carry0, step
+
 
 # ---------------------------------------------------------------------- #
 # /comms/dc_removal (reference: filter/DCRemoval.cpp + MovingAverage.hpp)
@@ -381,6 +448,34 @@ class DCRemoval(Block):
         port.consume(n)
         self.output(0).post(out)
 
+    def device_core(self, channels: int):
+        """Fused-chain core: moving-average cascade + delayed-input
+        subtraction (float32, cumsum formulation); carry = per-stage
+        history [cascade, C, D(, 2)]."""
+        d, casc = self._average_size, self._cascade_size
+        is_cplx = self.dtype.is_complex
+        shape = (casc, channels, d, 2) if is_cplx else (casc, channels, d)
+        carry0 = jnp.zeros(shape, jnp.float32)
+
+        def step(carry, x):
+            cur = x
+            hists = []
+            delayed = None
+            for s in range(casc):
+                ext = jnp.concatenate([carry[s], cur], axis=1)
+                csum = jnp.cumsum(ext, axis=1)
+                n = ext.shape[1] - d
+                avg = (csum[:, d:] - csum[:, :n]) / d
+                hists.append(ext[:, -d:])
+                if s == 0:
+                    delayed = jax.lax.dynamic_slice_in_dim(
+                        ext, 1, x.shape[1], axis=1
+                    )
+                cur = avg
+            return jnp.stack(hists), delayed - cur
+
+        return carry0, step
+
 
 # ---------------------------------------------------------------------- #
 # /comms/envelope_detector (reference: filter/EnvelopeDetector.cpp)
@@ -448,6 +543,34 @@ class EnvelopeDetector(Block):
         self._envelope = float(env)
         port.consume(n)
         self.output(0).post(np.asarray(y, np.float32))
+
+    def device_core(self, channels: int):
+        """Fused-chain core: attack/release follower over [C, T(, 2)],
+        scan over time with a [C] envelope carry. (Lookahead is a
+        stream-windowing feature of the block runtime; the fused core
+        requires lookahead == 0.)"""
+        if self._lookahead != 0:
+            raise TypeError("fused envelope core requires lookahead == 0")
+        ga = jnp.float32(self._attack_gain)
+        gr = jnp.float32(self._release_gain)
+        carry0 = jnp.zeros((channels,), jnp.float32)
+
+        def step(carry, x):
+            if x.ndim == 3:  # planar complex -> magnitude
+                mag = jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
+            else:
+                mag = jnp.abs(x)
+            mt = jnp.moveaxis(mag, 1, 0)  # [T, C]
+
+            def body(env, xn):
+                g = jnp.where(xn > env, ga, gr)
+                env = g * env + (1.0 - g) * xn
+                return env, env
+
+            env_f, yt = jax.lax.scan(body, carry, mt)
+            return env_f, jnp.moveaxis(yt, 0, 1)
+
+        return carry0, step
 
 
 # ---------------------------------------------------------------------- #

@@ -255,6 +255,16 @@ class Scale(Block):
         port.consume(elems)
         self.output(0).post(_as_np(out))
 
+    def device_core(self, channels: int):
+        """Fused-chain core (parallel/compiler.py): y = x * factor over a
+        planar float32 [C, T(, 2)] block; stateless."""
+        factor = jnp.float32(self._factor)
+
+        def step(carry, x):
+            return carry, x * factor
+
+        return (), step
+
 
 # --------------------------------------------------------------------- #
 # /comms/rotate — complex multiply by e^{j phase} in Q format
