@@ -113,13 +113,17 @@ def fir_multichannel_mm(x, history, t0, t1, block: int = 128):
     prev = jnp.concatenate([prev_tail[:, None], xb[:, :-1]], axis=1)
 
     def cmm(a, m):
+        # HIGHEST precision: default MXU bf16 would breach the reference
+        # numeric tolerances (see parallel/cplx.matmul)
+        mm = lambda p, q: jnp.matmul(
+            p, q, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         ar, ai = a[..., 0], a[..., 1]
         mr, mi = m[..., 0], m[..., 1]
-        yr = jnp.matmul(ar, mr, preferred_element_type=jnp.float32) - \
-            jnp.matmul(ai, mi, preferred_element_type=jnp.float32)
-        yi = jnp.matmul(ar, mi, preferred_element_type=jnp.float32) + \
-            jnp.matmul(ai, mr, preferred_element_type=jnp.float32)
-        return jnp.stack([yr, yi], axis=-1)
+        return jnp.stack(
+            [mm(ar, mr) - mm(ai, mi), mm(ar, mi) + mm(ai, mr)], axis=-1
+        )
 
     y = cmm(xb, t0) + cmm(prev, t1)
     y = y.reshape(c, t, 2)

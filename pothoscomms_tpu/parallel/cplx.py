@@ -57,15 +57,24 @@ def cabs(x):
     return jnp.sqrt(abs2(x))
 
 
-def matmul(x, f_re, f_im):
+def matmul(x, f_re, f_im, precision=None):
     """Planar-complex matrix multiply: x [..., N, 2] @ F [N, M] complex
     given as two real matrices. Four real MXU matmuls.
 
+    precision defaults to HIGHEST: the TPU MXU's default single-pass
+    bf16 contraction costs ~2e-3 relative error, which breaks the FFT
+    parity contract (fft/TestFFT.cpp abs 0.01) at >=1024 bins.
+
     Returns [..., M, 2].
     """
+    import jax
+
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(
+        a, b, preferred_element_type=jnp.float32, precision=precision
+    )
     xr, xi = x[..., 0], x[..., 1]
-    yr = jnp.matmul(xr, f_re, preferred_element_type=jnp.float32) - \
-        jnp.matmul(xi, f_im, preferred_element_type=jnp.float32)
-    yi = jnp.matmul(xr, f_im, preferred_element_type=jnp.float32) + \
-        jnp.matmul(xi, f_re, preferred_element_type=jnp.float32)
+    yr = mm(xr, f_re) - mm(xi, f_im)
+    yi = mm(xr, f_im) + mm(xi, f_re)
     return make(yr, yi)

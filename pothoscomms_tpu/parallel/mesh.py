@@ -56,6 +56,41 @@ def channel_sharded_fir_fft(mesh: Mesh, taps, nbins: int, decim: int = 1):
     return lambda x, h: run(x, h, kernel), init_history
 
 
+def grid_sharded_fir(mesh: Mesh, taps, decim: int = 1):
+    """FIR sharded over a 2-D [ch, t] mesh: channels split over "ch"
+    (no collectives), time split over "t" with K-1 halos via ppermute.
+
+    The mesh should be built with parallel.distributed.make_2d_mesh so
+    the "t" ring stays intra-host (halos ride ICI, not DCN). Returns
+    f(x, carry) -> (y, new_carry); carry is the stream tail [C, K-1, 2]
+    replicated over the mesh.
+    """
+    kernel = complex_fir_kernel(np.asarray(taps))
+    k = kernel.shape[-1]
+    nt = mesh.shape["t"]
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("ch", "t"), P("ch"), P()),
+        out_specs=(P("ch", "t"), P("ch")),
+    )
+    def run(x, carry, kern):
+        idx = jax.lax.axis_index("t")
+        tail = x[:, x.shape[1] - (k - 1):, :] if k > 1 else x[:, :0, :]
+        perm = [(i, (i + 1) % nt) for i in range(nt)]
+        left_tail = jax.lax.ppermute(tail, "t", perm)
+        hist = jnp.where(idx == 0, carry, left_tail) if k > 1 else left_tail
+        from pothoscomms_tpu.parallel.chain import fir_multichannel
+        y, _ = fir_multichannel(x, hist, kern, decim)
+        contrib = jnp.where(idx == nt - 1, tail, jnp.zeros_like(tail))
+        last_tail = jax.lax.psum(contrib, "t")
+        return y, last_tail
+
+    return lambda x, c: run(x, c, kernel)
+
+
 def time_sharded_fir(mesh: Mesh, taps, decim: int = 1):
     """FIR sharded over the time axis with ppermute halo exchange.
 
