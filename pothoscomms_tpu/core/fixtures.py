@@ -355,6 +355,41 @@ class StreamToPacket(Block):
         pass
 
 
+@register_block("/blocks/sporadic_dropper", "/comms_tpu/sporadic_dropper")
+class SporadicDropper(Block):
+    """Randomly drop packets/messages with a given probability (the
+    Pothos-core fault-injection fixture used by the reference's harsh
+    LLC test, mac/TestSimpleLlc.cpp:146-151). Seedable for determinism."""
+
+    def __init__(self, seed: Optional[int] = None):
+        super().__init__()
+        self.setup_input(0)
+        self.setup_output(0)
+        self._probability = 0.0
+        self._rng = np.random.default_rng(seed)
+
+    def set_probability(self, p: float):
+        if not (0.0 <= p <= 1.0):
+            raise ValueError("probability must be within [0, 1]")
+        self._probability = float(p)
+
+    def get_probability(self) -> float:
+        return self._probability
+
+    def work(self):
+        port = self.input(0)
+        while port.has_message():
+            msg = port.pop_message()
+            if self._rng.random() >= self._probability:
+                self.output(0).post_message(msg)
+        n = port.elements()
+        if n:
+            buf = np.array(port.buffer(n), copy=True)
+            port.consume(n)
+            if self._rng.random() >= self._probability:
+                self.output(0).post(buf)
+
+
 @register_block("/blocks/black_hole", "/comms_tpu/black_hole")
 class BlackHole(Block):
     def __init__(self, dtype=None):

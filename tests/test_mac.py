@@ -189,3 +189,28 @@ def test_llc_probes_registered():
     assert llc.probe("getExpiredCount") == 0
     mac = BlockRegistry.make("/comms/simple_mac")
     assert mac.probe("getErrorCount") == 0
+
+
+def test_arq_with_sporadic_dropper():
+    # the reference's 'harsh' topology (disabled there as too flaky):
+    # seeded dropper + generous timeouts makes it deterministic enough
+    rng = np.random.default_rng(9)
+    payloads = [rng.integers(0, 256, 25).astype(np.uint8) for _ in range(8)]
+    dropA2B = BlockRegistry.make("/blocks/sporadic_dropper", 42)
+    dropA2B.set_probability(0.2)
+    dropB2A = BlockRegistry.make("/blocks/sporadic_dropper", 43)
+    dropB2A.set_probability(0.2)
+    topo, (feedA, _), (_, collB), (llcA, llcB), macs = build_two_stacks(
+        dropA2B, dropB2A, seed=11
+    )
+    for llc in (llcA, llcB):
+        llc.set_resend_timeout(0.005)
+        llc.set_expire_timeout(5.0)
+    for p in payloads:
+        feedA.feed_packet(Packet(p.copy()))
+    topo.commit()
+    assert topo.wait_inactive(timeout=20.0)
+    assert llcA.getExpiredCount() == 0
+    assert len(collB.packets) == len(payloads)
+    for got, exp in zip(collB.packets, payloads):
+        assert_buffers_equal(exp, got.payload)
