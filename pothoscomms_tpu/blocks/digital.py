@@ -8,13 +8,10 @@ Framing/sync blocks live in blocks/framing.py.
 from __future__ import annotations
 
 import sys
-from typing import List, Optional
-
 import numpy as np
 
 from pothoscomms_tpu.core.block import Block
 from pothoscomms_tpu.core.dtypes import DType
-from pothoscomms_tpu.core.labels import Label
 from pothoscomms_tpu.core.packet import Packet
 from pothoscomms_tpu.core.registry import register_block
 from pothoscomms_tpu.ops import bits as bops

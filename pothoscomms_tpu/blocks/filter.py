@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from pothoscomms_tpu.core.block import Block
 from pothoscomms_tpu.core.dtypes import DType
-from pothoscomms_tpu.core.labels import Label
 from pothoscomms_tpu.core.qformat import Q_ACCUMULATOR
 from pothoscomms_tpu.core.registry import register_block
 from pothoscomms_tpu.design import (
@@ -29,7 +28,6 @@ from pothoscomms_tpu.design import (
     remez_estimate_weight,
 )
 from pothoscomms_tpu.ops import filter as fops
-from pothoscomms_tpu.ops import fxpt
 
 
 # ---------------------------------------------------------------------- #

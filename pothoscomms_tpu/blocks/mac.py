@@ -16,7 +16,7 @@ from __future__ import annotations
 import collections
 import random
 import time
-from typing import Any, Deque, Optional
+from typing import Deque, Optional
 
 import numpy as np
 

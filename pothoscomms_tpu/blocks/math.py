@@ -9,7 +9,7 @@ reference's per-block SIMD dispatch, math/SIMD/*).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 import numpy as np
 import jax
@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from pothoscomms_tpu.core.block import Block
 from pothoscomms_tpu.core.dtypes import DType
-from pothoscomms_tpu.core.qformat import float_to_q, from_q, q_dtype_for
+from pothoscomms_tpu.core.qformat import float_to_q, q_dtype_for
 from pothoscomms_tpu.core.registry import register_block
 from pothoscomms_tpu.ops import cint, elementwise as ew
 

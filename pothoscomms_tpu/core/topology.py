@@ -21,9 +21,9 @@ Differences from the reference (deliberate, TPU-first):
 from __future__ import annotations
 
 import time
-from typing import Any, List, Optional, Tuple, Union
+from typing import List, Tuple
 
-from pothoscomms_tpu.core.block import Block, InputPort, OutputPort
+from pothoscomms_tpu.core.block import Block
 
 
 class Topology:

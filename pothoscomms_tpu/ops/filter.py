@@ -38,17 +38,6 @@ from pothoscomms_tpu.core.qformat import Q_ACCUMULATOR, float_to_q
 # ---------------------------------------------------------------------- #
 # Polyphase rational-resampling FIR
 # ---------------------------------------------------------------------- #
-def prepare_fir_taps(taps, dtype: DType, complex_taps: bool):
-    """Split taps into the [L-phase, K] polyphase matrix in Q format.
-
-    Returns (taps_q, K) where taps_q is [L, K] float (float data) or
-    [L, K] int / [L, K, 2] int (fixed-point real/complex taps), zero-padded
-    per phase (reference: filter/FIRFilter.cpp:327-354).
-    """
-    taps = np.asarray(taps)
-    return taps
-
-
 def _polyphase_matrix(taps: np.ndarray, L: int) -> Tuple[np.ndarray, int]:
     """taps[i] -> phases[j, k] = taps[j + k*L], zero padded. K = ceil(n/L)."""
     n = len(taps)

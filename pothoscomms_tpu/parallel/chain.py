@@ -12,8 +12,6 @@ the matmul factorization in parallel/fft.py.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

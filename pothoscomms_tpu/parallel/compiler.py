@@ -24,7 +24,7 @@ f64 HLOs); the streaming blocks keep full dtype fidelity on the host.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence
 
 import numpy as np
 import jax

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 try:  # pallas import can fail on exotic builds; fall back gracefully
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     HAVE_PALLAS = True
 except Exception:  # pragma: no cover
