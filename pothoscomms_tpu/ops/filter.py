@@ -126,6 +126,15 @@ def polyphase_fir(xh, taps_q, M: int, L: int, K: int, kind: str,
         acc = jnp.sum(frames * tsel, axis=1)   # [T, 2]
         return (acc >> half_shift)
 
+    if kind == "planar":
+        # complex data/taps as planar f32 (the TPU device path: no
+        # complex HLOs on this backend)
+        fr = xh[gidx]                          # [T, K, 2]
+        ts = taps_q[j_idx]                     # [T, K, 2]
+        pr = fr[..., 0] * ts[..., 0] - fr[..., 1] * ts[..., 1]
+        pi = fr[..., 0] * ts[..., 1] + fr[..., 1] * ts[..., 0]
+        return jnp.stack([pr.sum(axis=1), pi.sum(axis=1)], axis=-1)
+
     if kind == "cint_ctaps":
         # complex int data, complex int taps: full complex MAC in Q type
         acc_dt = taps_q.dtype
