@@ -52,10 +52,15 @@ def main():
     spec, carry = run(x, carry)
     _ = float(jnp.sum(spec))  # forced device->host sync (tunnel-safe)
 
-    iters = 10
+    # the device relay memoizes identical executions, so the timing loop
+    # cycles a no-repeat pool of inputs with the carry chained through
+    iters = 8
+    pool = [jnp.asarray(rng.normal(size=(C, T, 2)).astype(np.float32))
+            for _ in range(iters)]
+    _ = float(jnp.sum(pool[-1]))  # materialize the pool before timing
     t0 = time.perf_counter()
-    for _ in range(iters):
-        spec, carry = run(x, carry)
+    for i in range(iters):
+        spec, carry = run(pool[i], carry)
     checksum = float(jnp.sum(spec))  # sync: result actually materialized
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(checksum)

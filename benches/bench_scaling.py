@@ -1,0 +1,116 @@
+"""Multi-device scaling-efficiency benchmark (BASELINE.md north star).
+
+Runs the channel-sharded 256-channel FIR+FFT chain over meshes of
+1/2/4/8 devices and reports samples/s plus efficiency vs linear scaling
+(the >=80% criterion). The sharding is `shard_map` over a
+`jax.sharding.Mesh` with channels split on the "ch" axis — zero
+steady-state collectives, so on a real pod slice the only cross-device
+traffic is program launch; halo-carrying time sharding is exercised by
+`tests/test_parallel.py::test_time_sharded_fir_halo_exchange`.
+
+On this single-chip environment the mesh is the virtual CPU mesh
+(`--xla_force_host_platform_device_count`), which validates the SPMD
+program and measures host-core scaling; on a TPU pod slice the same
+code runs unchanged with devices = real chips and traffic on ICI.
+
+Run: python benches/bench_scaling.py   (self-re-executes under CPU mesh)
+Prints one JSON line per mesh size plus a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEVICES = (1, 2, 4, 8)
+
+
+def _respawn_under_cpu_mesh():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={max(DEVICES)}"
+    ).strip()
+    env["_BENCH_SCALING_CHILD"] = "1"
+    return subprocess.call([sys.executable, os.path.abspath(__file__)], env=env)
+
+
+def main():
+    import numpy as np
+    import jax
+
+    if os.environ.get("_BENCH_SCALING_CHILD"):
+        # the image's sitecustomize registers the axon (TPU) backend and
+        # pins JAX_PLATFORMS before we run; the env var alone is not enough
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pothoscomms_tpu.parallel.mesh import make_mesh, channel_sharded_fir_fft
+    from pothoscomms_tpu.parallel.distributed import scaling_efficiency
+
+    C, T, K, NBINS = 256, 8192, 64, 1024
+    rng = np.random.default_rng(0)
+    taps = (rng.normal(size=K) + 1j * rng.normal(size=K)) / K
+
+    results = {}
+    for n in DEVICES:
+        if n > len(jax.devices()):
+            break
+        mesh = make_mesh(n)
+        run, init_hist = channel_sharded_fir_fft(mesh, taps, NBINS)
+        sh = NamedSharding(mesh, P("ch"))
+        iters = 8
+        # no-repeat input pool: the relay memoizes identical executions
+        pool = [
+            jax.device_put(
+                jnp.asarray(rng.normal(size=(C, T, 2)).astype(np.float32)), sh
+            )
+            for _ in range(iters)
+        ]
+        hist = jax.device_put(init_hist(C), sh)
+        spec, hist = run(pool[0], hist)
+        jax.block_until_ready(spec)
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out, hist = run(pool[i % len(pool)], hist)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        results[n] = C * T / dt
+        print(json.dumps({
+            "metric": f"fir_fft_256ch_scaling_n{n}",
+            "value": round(results[n] / 1e6, 2),
+            "unit": "Msamples/s",
+            "devices": n,
+        }))
+
+    eff = scaling_efficiency(results)
+    platform = jax.devices()[0].platform
+    out = {
+        "metric": "scaling_efficiency",
+        "value": eff.get(max(results), 0.0),
+        "unit": f"fraction_linear_{min(results)}to{max(results)}dev",
+        "per_n": eff,
+        "platform": platform,
+    }
+    if platform == "cpu":
+        # virtual host devices share one core pool: the n=1 run is already
+        # multithreaded, so this mode validates the SPMD program, it does
+        # not measure chip scaling (that needs a real pod slice)
+        out["mode"] = "spmd-validation-only"
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    if os.environ.get("_BENCH_SCALING_CHILD"):
+        sys.exit(main())
+    # single real chip here: validate/measure on the virtual CPU mesh
+    sys.exit(_respawn_under_cpu_mesh())

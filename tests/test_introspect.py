@@ -158,3 +158,19 @@ def test_catalog_covers_all_comms_paths():
     assert len(documented) >= len(comms) - 2, sorted(
         p for p, d in cat.items() if "error" in d
     )
+
+
+def test_cli_list_and_doc(capsys):
+    from pothoscomms_tpu.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "/comms/fft" in out and len(out) >= 57
+
+    assert main(["doc", "/comms/fir_filter", "float32"]) == 0
+    import json
+
+    doc = json.loads(capsys.readouterr().out)
+    assert "decimation" in doc["params"]
+
+    assert main(["nonsense"]) == 2
