@@ -109,8 +109,21 @@ def main():
     return 0
 
 
+def _real_multidevice() -> bool:
+    """True when the native platform already exposes >1 device (a real
+    pod slice) — then we measure on it directly instead of respawning
+    under the virtual CPU mesh."""
+    try:
+        import jax
+
+        devs = jax.devices()
+        return len(devs) > 1 and devs[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 if __name__ == "__main__":
-    if os.environ.get("_BENCH_SCALING_CHILD"):
+    if os.environ.get("_BENCH_SCALING_CHILD") or _real_multidevice():
         sys.exit(main())
     # single real chip here: validate/measure on the virtual CPU mesh
     sys.exit(_respawn_under_cpu_mesh())

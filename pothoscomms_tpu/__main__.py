@@ -45,10 +45,23 @@ def cmd_doc(args):
         print("usage: python -m pothoscomms_tpu doc </comms/path> [ctor args]",
               file=sys.stderr)
         return 2
+    import ast
+
     from pothoscomms_tpu.core.introspect import block_doc
 
     reg = _load_registry()
-    blk = reg.make(args[0], *args[1:])
+
+    def _coerce(a: str):
+        try:
+            return ast.literal_eval(a)
+        except (ValueError, SyntaxError):
+            return a
+
+    try:
+        blk = reg.make(args[0], *[_coerce(a) for a in args[1:]])
+    except (KeyError, ValueError, TypeError) as exc:
+        print(f"doc: {exc}", file=sys.stderr)
+        return 2
     print(json.dumps(block_doc(blk), indent=2, default=str))
     return 0
 
@@ -98,9 +111,12 @@ COMMANDS = {
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    if not argv or argv[0] in ("-h", "--help") or argv[0] not in COMMANDS:
+    if argv and argv[0] in ("-h", "--help"):
         print(__doc__)
-        return 0 if argv and argv[0] in ("-h", "--help") else 2
+        return 0
+    if not argv or argv[0] not in COMMANDS:
+        print(__doc__, file=sys.stderr)
+        return 2
     return COMMANDS[argv[0]](argv[1:])
 
 

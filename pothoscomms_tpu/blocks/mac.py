@@ -214,6 +214,13 @@ class SimpleLlc(Block):
             self.input("macIn").push_message(_RESEND_SENTINEL)
         return bool(self._sent)
 
+    def next_timer_deadline(self) -> Optional[float]:
+        """Earliest monotonic time at which poll_timers() will act — lets
+        the executor sleep instead of busy-spinning between timer events."""
+        if not self._sent:
+            return None
+        return min(self._sent[0][1], self._sent[0][2] + self._resend_timeout)
+
     # -- header helpers ---------------------------------------------------- #
     def _fill_header(self, nonce: int, control: int) -> np.ndarray:
         return np.array([

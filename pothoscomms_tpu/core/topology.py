@@ -168,6 +168,22 @@ class Topology:
                 return True
             if time.monotonic() > deadline:
                 return False
+            # Timers are pending but nothing fired yet: sleep until the
+            # nearest declared timer deadline instead of busy-spinning
+            # (the reference's monitor thread sleeps 1 ms per tick,
+            # mac/SimpleLlc.cpp:140-162). A pending message means the
+            # next round will progress, so only sleep when idle.
+            if not self._state_fingerprint()[3]:
+                deadlines = [
+                    d for blk in self.blocks
+                    for d in (getattr(blk, "next_timer_deadline",
+                                      lambda: None)(),)
+                    if d is not None
+                ]
+                if deadlines:
+                    time.sleep(min(
+                        max(min(deadlines) - time.monotonic(), 0.0), 0.05
+                    ))
 
     # ------------------------------------------------------------------ #
     # Observability + checkpointing (core/introspect.py)

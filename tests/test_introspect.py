@@ -163,9 +163,11 @@ def test_catalog_covers_all_comms_paths():
 def test_cli_list_and_doc(capsys):
     from pothoscomms_tpu.__main__ import main
 
+    from pothoscomms_tpu import BlockRegistry as BR
+
     assert main(["list"]) == 0
     out = capsys.readouterr().out.splitlines()
-    assert "/comms/fft" in out and len(out) >= 57
+    assert "/comms/fft" in out and len(out) == len(BR.paths())
 
     assert main(["doc", "/comms/fir_filter", "float32"]) == 0
     import json
