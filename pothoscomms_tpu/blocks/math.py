@@ -44,6 +44,10 @@ class ElementwiseBlock(Block):
 
     def work(self):
         elems = min(self.input(i).elements() for i in range(self._n_in))
+        spaces = [s for s in (o.free_space() for o in self.outputs.values())
+                  if s is not None]
+        if spaces:
+            elems = min(elems, max(min(spaces), 1))
         if elems == 0:
             return
         ins = [self.input(i).buffer(elems) for i in range(self._n_in)]
@@ -82,7 +86,10 @@ class Arithmetic(Block):
                 acc = self._fcn(acc, x)
             return acc
 
-        self._chain = jax.jit(chain)
+        # donate in0 so XLA writes the output in place over the first
+        # input's buffer — the TPU-native equivalent of the reference's
+        # setReadBeforeWrite in-place inlining (math/Arithmetic.cpp:165-168)
+        self._chain = jax.jit(chain, donate_argnums=(0,))
 
     def set_num_inputs(self, num_inputs: int):
         if num_inputs < 2:
@@ -112,11 +119,19 @@ class Arithmetic(Block):
     def work(self):
         ports = [self.input(i) for i in range(len(self.inputs))]
         elems = min(p.elements() for p in ports)
+        space = self.output(0).free_space()
+        if space is not None:
+            elems = min(elems, max(space, 1))
         if elems == 0:
             return
         bufs = [p.buffer(elems) for p in ports]
-        out = self._chain(*bufs)
-        self._num_inline_buffers += 1  # output aliases in0 under XLA donation
+        x0 = jnp.asarray(bufs[0])
+        out = self._chain(x0, *bufs[1:])
+        if x0.is_deleted():
+            # XLA actually consumed in0's device buffer for the output
+            # (the reference asserts this real inlining,
+            # math/TestArithmeticBlocks.cpp:381-383)
+            self._num_inline_buffers += 1
         for p in ports:
             p.consume(elems)
         self.output(0).post(_as_np(out))

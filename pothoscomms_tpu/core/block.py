@@ -39,6 +39,17 @@ def _np_concat(parts: List[np.ndarray]) -> np.ndarray:
     return np.concatenate(parts, axis=0)
 
 
+# Default per-edge queue bound, in elements. The reference bounds every
+# edge with a buffer manager (SURVEY.md §1 "Buffer managers"); here a full
+# input queue gates the upstream block's scheduling (see
+# Topology._run_once), so a fast producer ahead of a slow consumer holds
+# RSS flat instead of growing without limit. Must be far above any
+# block's reserve (max reserve in the catalog is a few thousand elements)
+# so consumers can always eventually fire.
+DEFAULT_EDGE_CAPACITY = 1 << 20
+DEFAULT_MSG_CAPACITY = 1 << 14
+
+
 class InputPort:
     def __init__(self, block: "Block", name: str, dtype: Optional[DType]):
         self.block = block
@@ -49,6 +60,8 @@ class InputPort:
         self.labels: List[Label] = []
         self._messages: collections.deque = collections.deque()
         self.reserve = 0
+        self.capacity: Optional[int] = DEFAULT_EDGE_CAPACITY
+        self.msg_capacity: Optional[int] = DEFAULT_MSG_CAPACITY
         self.total_consumed = 0
         self.total_popped = 0  # monotonic: messages popped (progress)
         self._consumed_this_work = 0
@@ -93,6 +106,22 @@ class InputPort:
 
     def set_reserve(self, n: int) -> None:
         self.reserve = n
+
+    def set_capacity(self, elements: Optional[int],
+                     messages: Optional[int] = None) -> None:
+        """Bound this edge's queue (None = unbounded). A producer whose
+        downstream port is at/over capacity is not scheduled until the
+        consumer drains it — the backpressure equivalent of the
+        reference's bounded buffer managers."""
+        self.capacity = None if elements is None else int(elements)
+        if messages is not None:
+            self.msg_capacity = int(messages)
+
+    def congested(self) -> bool:
+        if self.capacity is not None and self._elements >= self.capacity:
+            return True
+        return (self.msg_capacity is not None
+                and len(self._messages) >= self.msg_capacity)
 
     # -- messages ------------------------------------------------------- #
     def has_message(self) -> bool:
@@ -153,6 +182,18 @@ class OutputPort:
     def post_message(self, msg: Any) -> None:
         for port in self.downstream:
             port.push_message(msg)
+
+    def free_space(self) -> Optional[int]:
+        """Elements the most congested downstream queue can still accept
+        (None = unbounded). Volume-aware blocks clamp their work size to
+        this so a slow consumer bounds the edge queue tightly."""
+        space: Optional[int] = None
+        for port in self.downstream:
+            if port.capacity is None:
+                continue
+            s = max(port.capacity - port._elements, 0)
+            space = s if space is None else min(space, s)
+        return space
 
 
 class WorkInfo:
@@ -272,6 +313,15 @@ class Block:
                 return True
             if p.elements() > 0 and p.elements() >= p.reserve:
                 return True
+        return False
+
+    def downstream_congested(self) -> bool:
+        """True when any downstream input queue is at/over capacity; the
+        executor then skips this block until the consumer drains."""
+        for out in self.outputs.values():
+            for port in out.downstream:
+                if port.congested():
+                    return True
         return False
 
     # -- label propagation ------------------------------------------------ #

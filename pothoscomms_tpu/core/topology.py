@@ -13,8 +13,9 @@ Differences from the reference (deliberate, TPU-first):
   the high-rate path, chains of blocks are compiled into ONE jitted program
   by the fused-chain compiler (pothoscomms_tpu/parallel/), so the executor
   granularity is irrelevant to hot-loop performance.
-- Backpressure: the reference uses bounded buffer managers; we use
-  run-to-quiescence scheduling with per-port ``reserve`` gating, plus
+- Backpressure: the reference uses bounded buffer managers; every edge
+  here has a per-port element/message capacity (InputPort.capacity) that
+  gates upstream scheduling, plus per-port ``reserve`` gating and
   production quotas for unbounded sources.
 """
 
@@ -127,7 +128,7 @@ class Topology:
         """One scheduling round over all blocks; True if any progress."""
         before = self._state_fingerprint()
         for blk in self.blocks:
-            if not blk.wants_work():
+            if not blk.wants_work() or blk.downstream_congested():
                 continue
             for p in blk.inputs.values():
                 p._consumed_this_work = 0

@@ -159,6 +159,17 @@ def test_arithmetic_three_inputs_and_preload():
     assert_buffers_equal(exp, c.get_buffer())
 
 
+def test_arithmetic_inline_buffers():
+    """Output genuinely aliases input 0's device buffer via XLA donation
+    (reference asserts real inlining, math/TestArithmeticBlocks.cpp:381-383)."""
+    blk = BlockRegistry.make("/comms/arithmetic", "float32", "ADD")
+    x = np.arange(N, dtype=np.float32)
+    y = np.ones(N, dtype=np.float32)
+    got = run_block(blk, [x, y], "float32")
+    assert_buffers_close(x + y, got, 1e-6)
+    assert blk.get_num_inline_buffers() > 0
+
+
 @pytest.mark.parametrize("dtype_name", ["float32", "float64", "int16", "uint8", "complex_float32", "complex_int16"])
 @pytest.mark.parametrize("op", ["X+K", "X-K", "K-X", "X*K", "X/K", "K/X"])
 def test_const_arithmetic(dtype_name, op):

@@ -113,3 +113,90 @@ def test_feed_test_plan_roundtrip():
     )["expected"]
     assert topo.wait_inactive()
     np.testing.assert_array_equal(collector.get_buffer(), expected)
+
+
+def test_bounded_backpressure_gates_producer():
+    """A fast producer ahead of a slow consumer must not grow the edge
+    queue beyond its capacity (the reference bounds every edge with a
+    buffer manager, SURVEY.md §1). The producer is skipped by the
+    scheduler while the downstream queue is at capacity."""
+
+    class SlowSink(Block):
+        def __init__(self):
+            super().__init__()
+            self.setup_input(0, "float32")
+            self.got = 0
+
+        def work(self):
+            port = self.input(0)
+            n = min(port.elements(), 100)  # drains slowly
+            port.consume(n)
+            self.got += n
+
+    feeder = FeederSource("float32")
+    scale = BlockRegistry.make("/comms/scale", "float32")
+    sink = SlowSink()
+    sink.input(0).set_capacity(256)
+
+    total = 50_000
+    for _ in range(50):
+        feeder.feed_buffer(np.ones(total // 50, np.float32))
+
+    topo = Topology()
+    topo.connect(feeder, 0, scale, 0)
+    topo.connect(scale, 0, sink, 0)
+    topo.commit()
+
+    max_queue = 0
+    for _ in range(10_000):
+        if not topo._run_once():
+            break
+        max_queue = max(max_queue, sink.input(0).elements())
+    assert sink.got == total
+    # volume-aware producers clamp their post to downstream free space,
+    # so the queue never exceeds the capacity
+    assert max_queue <= 256, max_queue
+
+
+def test_backpressure_message_queue_bound():
+    """Message edges are bounded too: a packet flood is gated."""
+    from pothoscomms_tpu.core.packet import Packet
+
+    class PacketSource(Block):
+        def __init__(self, count):
+            super().__init__()
+            self.setup_output(0)
+            self.left = count
+
+        def wants_work(self):
+            return self.left > 0
+
+        def work(self):
+            if self.left > 0:
+                self.output(0).post_message(Packet(np.zeros(8, np.uint8)))
+                self.left -= 1
+
+    class SlowPacketSink(Block):
+        def __init__(self):
+            super().__init__()
+            self.setup_input(0)
+            self.got = 0
+
+        def work(self):
+            if self.input(0).has_message():
+                self.input(0).pop_message()
+                self.got += 1
+
+    src = PacketSource(500)
+    sink = SlowPacketSink()
+    sink.input(0).set_capacity(None, messages=16)
+    topo = Topology()
+    topo.connect(src, 0, sink, 0)
+    topo.commit()
+    max_q = 0
+    for _ in range(5000):
+        if not topo._run_once():
+            break
+        max_q = max(max_q, len(sink.input(0)._messages))
+    assert sink.got == 500
+    assert max_q <= 17, max_q
