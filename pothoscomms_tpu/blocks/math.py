@@ -43,11 +43,9 @@ class ElementwiseBlock(Block):
         self._n_out = n_out
 
     def work(self):
-        elems = min(self.input(i).elements() for i in range(self._n_in))
-        spaces = [s for s in (o.free_space() for o in self.outputs.values())
-                  if s is not None]
-        if spaces:
-            elems = min(elems, max(min(spaces), 1))
+        elems = self.clamp_work_size(
+            min(self.input(i).elements() for i in range(self._n_in))
+        )
         if elems == 0:
             return
         ins = [self.input(i).buffer(elems) for i in range(self._n_in)]
@@ -118,10 +116,7 @@ class Arithmetic(Block):
 
     def work(self):
         ports = [self.input(i) for i in range(len(self.inputs))]
-        elems = min(p.elements() for p in ports)
-        space = self.output(0).free_space()
-        if space is not None:
-            elems = min(elems, max(space, 1))
+        elems = self.clamp_work_size(min(p.elements() for p in ports))
         if elems == 0:
             return
         bufs = [p.buffer(elems) for p in ports]
@@ -262,7 +257,7 @@ class Scale(Block):
 
     def work(self):
         port = self.input(0)
-        elems = port.elements()
+        elems = self.clamp_work_size(port.elements())
         if elems == 0:
             return
         elems = self._scan_labels(port, elems)

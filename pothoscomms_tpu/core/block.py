@@ -315,6 +315,16 @@ class Block:
                 return True
         return False
 
+    def clamp_work_size(self, elems: int) -> int:
+        """Clamp a proposed work size to the most congested downstream
+        queue's free space (never below 1 so progress is always possible;
+        full queues are handled by the scheduler's congestion gate)."""
+        spaces = [s for s in (o.free_space() for o in self.outputs.values())
+                  if s is not None]
+        if spaces:
+            return min(elems, max(min(spaces), 1))
+        return elems
+
     def downstream_congested(self) -> bool:
         """True when any downstream input queue is at/over capacity; the
         executor then skips this block until the consumer drains."""
