@@ -228,8 +228,12 @@ def make_tx_frame(payload_syms, data_width, symbol_width, header_id=0x55,
     return np.concatenate([sync, hdr, payload])
 
 
-@pytest.mark.parametrize("mode", ["RAW", "PHASE"])
-def test_frame_sync_finds_frame(mode):
+@pytest.mark.parametrize("split", [False, True])
+@pytest.mark.parametrize("mode", ["RAW", "PHASE", "TIMING", "DEBUG"])
+def test_frame_sync_finds_frame(mode, split):
+    """All four output modes (reference FrameSync.cpp:398-457), with and
+    without randomized buffer-boundary splitting through a Copier (the
+    stress pattern of digital/TestFramerToCorrelator.cpp:22-26)."""
     rng = np.random.default_rng(21)
     data_width, symbol_width = 4, 20
     payload_syms = rng.integers(0, 2, 40) * 2.0 - 1.0
@@ -258,18 +262,32 @@ def test_frame_sync_finds_frame(mode):
     feed.feed_buffer(sig.astype(np.complex128))
     sink = CollectorSink("complex_float64")
     topo = Topology()
-    topo.connect(feed, 0, fs, 0)
+    if split:
+        from pothoscomms_tpu.core.fixtures import Copier
+
+        cop = Copier(seed=5)
+        topo.connect(feed, 0, cop, 0)
+        topo.connect(cop, 0, fs, 0)
+    else:
+        topo.connect(feed, 0, fs, 0)
     topo.connect(fs, 0, sink, 0)
     topo.commit()
     assert topo.wait_inactive()
 
+    label_width = 1 if mode == "TIMING" else data_width
     labels = {lb.id: lb for lb in sink.get_labels()}
     assert "rxStart" in labels, "frame not detected"
     assert labels["rxStart"].data == len(payload_syms)
-    assert labels["rxEnd"].index == (len(payload_syms) - 1) * data_width
+    assert labels["rxStart"].width == label_width
+    # DEBUG backs the labels up by the pre-payload backup span
+    # (reference :707-713); start/end spacing is mode-invariant
+    assert (labels["rxEnd"].index - labels["rxStart"].index
+            == (len(payload_syms) - 1) * label_width)
+    if mode == "DEBUG":
+        assert labels["rxStart"].index > 0  # the backup region precedes
     out = sink.get_buffer()
     start = labels["rxStart"].index
-    assert len(out) >= start + len(payload_syms) * data_width
+    assert len(out) >= start + len(payload_syms) * label_width
 
     # Decode the BPSK payload from the synchronized output. With
     # rectangular pulses the reference's optimal-sampling-offset search
@@ -279,21 +297,21 @@ def test_frame_sync_finds_frame(mode):
     seg = out[start:]
 
     def decode(shift):
-        idx = np.arange(len(payload_syms) - 1) * data_width
+        idx = np.arange(len(payload_syms) - 1) * label_width
         samples = seg[idx]
         exp = payload_syms[shift: shift + len(samples)]
-        if mode == "PHASE":
-            dec = np.sign(samples.real)
-        else:
+        if mode == "RAW":
             rot = samples * np.conj(exp)
             mean_ph = np.angle(rot.sum())
             dec = np.sign((samples * np.exp(-1j * mean_ph)).real)
+        else:  # PHASE/TIMING/DEBUG apply the phase-ramp compensation
+            dec = np.sign(samples.real)
         return np.array_equal(dec, exp), samples
 
     ok0, s0 = decode(0)
     ok1, s1 = decode(1)
     assert ok0 or ok1, "payload bits wrong at both alignments"
-    if mode == "PHASE":
+    if mode != "RAW":
         # amplitude restored to ~1 by the scale estimate
         samples = s1 if ok1 else s0
         assert np.allclose(np.abs(samples), 1.0, atol=0.15)

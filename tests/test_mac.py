@@ -214,3 +214,44 @@ def test_arq_with_sporadic_dropper():
     assert len(collB.packets) == len(payloads)
     for got, exp in zip(collB.packets, payloads):
         assert_buffers_equal(exp, got.payload)
+
+
+@pytest.mark.parametrize("drop,window,count", [
+    (0.2, 8, 40),
+    (0.35, 8, 30),
+    (0.5, 4, 15),
+])
+def test_arq_zero_loss_under_heavy_drop(drop, window, count):
+    """The reference's disabled 'harsh' randomized-loss test
+    (mac/TestSimpleLlc.cpp:105-110) done right: deterministic seeds,
+    loss in BOTH directions at multiple rates, larger windows, and a
+    zero-loss, in-order, bidirectional delivery assertion."""
+    rng = np.random.default_rng(int(drop * 100) + window)
+    a2b = [rng.integers(0, 256, 25).astype(np.uint8) for _ in range(count)]
+    b2a = [rng.integers(0, 256, 25).astype(np.uint8) for _ in range(count)]
+    dropA2B = BlockRegistry.make("/blocks/sporadic_dropper", 1000 + window)
+    dropA2B.set_probability(drop)
+    dropB2A = BlockRegistry.make("/blocks/sporadic_dropper", 2000 + window)
+    dropB2A.set_probability(drop)
+    topo, (feedA, feedB), (collA, collB), (llcA, llcB), _ = build_two_stacks(
+        dropA2B, dropB2A, seed=31 + window
+    )
+    for llc in (llcA, llcB):
+        llc.set_resend_timeout(0.002)
+        llc.set_expire_timeout(30.0)
+        llc.set_window_size(window)
+    for p in a2b:
+        feedA.feed_packet(Packet(p.copy()))
+    for p in b2a:
+        feedB.feed_packet(Packet(p.copy()))
+    topo.commit()
+    assert topo.wait_inactive(timeout=30.0)
+    assert llcA.getExpiredCount() == 0 and llcB.getExpiredCount() == 0
+    assert len(collB.packets) == count, (len(collB.packets), count)
+    assert len(collA.packets) == count, (len(collA.packets), count)
+    for got, exp in zip(collB.packets, a2b):
+        assert_buffers_equal(exp, got.payload)
+    for got, exp in zip(collA.packets, b2a):
+        assert_buffers_equal(exp, got.payload)
+    # loss recovery actually happened (the links really dropped packets)
+    assert llcA.getResendCount() > 0 and llcB.getResendCount() > 0
