@@ -375,6 +375,7 @@ class PreambleCorrelator(Block):
         if preamble.size == 0:
             raise ValueError("preamble cannot be empty")
         self._preamble = preamble
+        self._profile = None  # rebuilt on next work()
 
     def get_preamble(self):
         return self._preamble
@@ -392,6 +393,8 @@ class PreambleCorrelator(Block):
         return self._frame_start_id
 
     def work(self):
+        from pothoscomms_tpu.ops.framing import bucket_len, make_hamming_profile
+
         port = self.input(0)
         out = self.output(0)
         p = len(self._preamble)
@@ -401,16 +404,96 @@ class PreambleCorrelator(Block):
         total = port.elements()
         n = total - p  # processable elements; last p stay as lookahead
         buf = np.asarray(port.buffer(total))
-        # sliding XOR popcount: windows [n, p]
-        idx = np.arange(n)[:, None] + np.arange(p)[None, :]
-        dist = np.bitwise_count(
-            np.bitwise_xor(buf[idx], self._preamble[None, :])
-        ).sum(axis=1)
+        # sliding XOR popcount as a device bit-plane correlation
+        # (ops/framing.py; reference PreambleCorrelator.cpp:130-151)
+        if self._profile is None:
+            self._profile = make_hamming_profile(self._preamble)
+        lp = bucket_len(total, minimum=max(2 * p, 64))
+        xpad = np.zeros(lp, np.float32)
+        xpad[:total] = buf
+        dist = self._profile(xpad, lp - p + 1)[:n]
         hits = np.nonzero(dist <= self._threshold)[0]
         for h in hits:
             out.post_label(Label(self._frame_start_id, None, int(h) + p))
         port.consume(n)
         out.post(buf[:n].copy())
+
+
+# ---------------------------------------------------------------------- #
+# Header-bit recovery (reference FrameSync.cpp:699-743) — shared by the
+# FrameSync block and the channel-sharded link (parallel/link.py)
+# ---------------------------------------------------------------------- #
+def process_header_bits(x: np.ndarray, delta_fc, scale, phase_off,
+                        sync_word_width: int, symbol_width: int,
+                        data_width: int, frame_width: int,
+                        last_preamble_sym) -> tuple:
+    """Optimal bit-sampling-offset search + BPSK header decode; returns
+    (first_bit, fields or None)."""
+    sw, dw, fw = sync_word_width, data_width, frame_width
+    sym = np.conj(last_preamble_sym)
+    first_bit = sw + dw // 2
+    first_bit_peak = 0.0
+    start = sw - (dw * symbol_width) // 2
+    for i in range(start, fw):
+        bit = x[i] * scale * np.exp(1j * (phase_off + delta_fc * i)) * sym
+        if bit.real > first_bit_peak:
+            if first_bit_peak == 0:
+                continue
+            break
+        first_bit = i
+        first_bit_peak = bit.real
+    if first_bit_peak == 0:
+        return first_bit, None
+    idx = first_bit + dw * np.arange(NUM_HEADER_BITS)
+    rot = scale * np.exp(1j * (phase_off + delta_fc * idx))
+    bits = ((x[idx] * rot * sym).real > 0).astype(np.uint8)
+    return first_bit, decode_header_word(bits)
+
+
+# ---------------------------------------------------------------------- #
+# Frame acceptance automaton (reference FrameSync.cpp:488-536) — shared
+# by the FrameSync block and the channel-sharded link (parallel/link.py)
+# ---------------------------------------------------------------------- #
+def new_sync_state() -> dict:
+    return {
+        "max_corr_peak": 0,
+        "count_since_max": 0,
+        "delta_fc_max": 0.0,
+        "phase_off_max": 0.0,
+        "scale_at_max": 0.0,
+    }
+
+
+def run_sync_automaton(state: dict, arrays, mag_thresh: int, dur_thresh: int,
+                       try_decode):
+    """Walk the per-offset search arrays with the reference's peak
+    acceptance rules (magnitude >= 70% of sync width, duration >= 50% —
+    FrameSync.cpp:488-502, FrameHelper.hpp:11-13). At each accepted peak,
+    ``try_decode(frame_offset, state)`` attempts the header decode; a
+    non-None result stops the walk. Returns (i, frame_offset, result) or
+    None when the arrays are exhausted. ``state`` persists across calls
+    (streaming)."""
+    scale, delta_fc, phase_off, corr_peak = arrays
+    n = len(corr_peak)
+    for i in range(n):
+        cp = int(corr_peak[i])
+        if cp > state["max_corr_peak"] and cp > mag_thresh:
+            state["max_corr_peak"] = cp
+            state["count_since_max"] = 0
+            state["delta_fc_max"] = float(delta_fc[i])
+            state["phase_off_max"] = float(phase_off[i])
+            state["scale_at_max"] = float(scale[i])
+        state["count_since_max"] += 1
+        if state["max_corr_peak"] < mag_thresh:
+            continue
+        if state["count_since_max"] < dur_thresh:
+            continue
+        state["max_corr_peak"] = 0
+        frame_offset = i - state["count_since_max"]
+        result = try_decode(frame_offset, state)
+        if result is not None:
+            return i, frame_offset, result
+    return None
 
 
 # ---------------------------------------------------------------------- #
@@ -509,6 +592,7 @@ class FrameSync(Block):
         if threshold < 0:
             raise ValueError("threshold should be non-negative")
         self._input_threshold = float(threshold)
+        self._search = None
 
     def get_input_threshold(self) -> float:
         return self._input_threshold
@@ -517,6 +601,7 @@ class FrameSync(Block):
         self._verbose = bool(enb)
 
     def _update_settings(self):
+        self._search = None  # device search kernel rebuilt on next work()
         self._sync_word_width = (
             self._symbol_width * self._data_width * len(self._preamble)
         )
@@ -525,93 +610,42 @@ class FrameSync(Block):
         self._corr_dur_thresh = int(self._sync_word_width * CORR_DUR_PERCENT)
 
     def activate(self):
-        self._max_corr_peak = 0
-        self._count_since_max = 0
-        self._delta_fc_max = 0.0
-        self._phase_off_max = 0.0
-        self._scale_at_max = 0.0
+        self._auto = new_sync_state()
         self._remaining_payload = 0
+        self._scale_at_max = 0.0
         self._phase = 0.0
         self._phase_inc = 0.0
 
-    # -- vectorized per-offset search ------------------------------------- #
+    # -- vectorized per-offset search (device kernel) --------------------- #
     def _search_arrays(self, x: np.ndarray, n: int):
         """Compute (scale, delta_fc, phase_off, corr_peak) for offsets
-        0..n-1 over x (len >= n + frame_width - 1), vectorized."""
-        sw = self._sync_word_width
-        w = self._symbol_width * self._data_width
-        dw = self._data_width
-        absx = np.abs(x)
-        cs = np.concatenate([[0.0], np.cumsum(absx)])
+        0..n-1 over x (len >= n + frame_width - 1).
 
-        def winsum(lo, hi):
-            """sum(|x[i+lo:i+hi]|) for each offset i."""
-            i = np.arange(n)
-            return cs[i + hi] - cs[i + lo]
+        Runs the jitted planar kernel ops/framing.sync_search_planar —
+        one fixed-shape device program (input bucketed to a power of two
+        so recompilation stays bounded), replacing the reference's
+        per-sample host loop (FrameSync.cpp:470-497)."""
+        from pothoscomms_tpu.ops.framing import bucket_len, make_sync_search
+        from pothoscomms_tpu.parallel import cplx
 
-        # envelope (reference :596-634)
-        begin0, end0 = dw, (self._symbol_width * dw) // 2
-        sum0 = winsum(begin0, end0) / (end0 - begin0)
-        begin1, end1 = sw - (self._symbol_width * dw) // 2, sw - dw
-        sum1 = winsum(begin1, end1) / (end1 - begin1)
-        thr = self._input_threshold
-        p_abs_f = np.abs(self._preamble[0])
-        p_abs_l = np.abs(self._preamble[-1])
-        i = np.arange(n)
-        ok = (absx[i + dw] >= thr) & (absx[i + sw - dw] >= thr)
-        ok &= sum0 >= thr
-        s0 = sum0 / p_abs_f
-        ok &= sum1 >= thr
-        s1 = sum1 / p_abs_l
-        ratio = np.where(s1 != 0, s0 / np.where(s1 == 0, 1, s1), np.inf)
-        ok &= (ratio <= 2) & (ratio >= 0.5)
-        scale = np.where(ok, 2.0 / np.where(ok, s0 + s1, 1.0), 0.0)
-
-        # frequency offset (reference :640-664): sliding sum of
-        # y[j] = x[j] conj(x[j+delta]) over the final preamble symbol
-        delta = w // 2
-        pad = dw
-        y = x[:-delta] * np.conj(x[delta:])
-        cy = np.concatenate([[0.0 + 0.0j], np.cumsum(y)])
-        off = w * (len(self._preamble) - 1)
-        lo = off + pad
-        hi = off + w - delta - pad
-        K = cy[i + hi] - cy[i + lo]
-        delta_fc = np.where(scale != 0, np.angle(K) / delta, 0.0)
-
-        # dechirped correlation (reference :670-693): L[i] =
-        # sum_j conj(p[j//w]) x[i+j] scale e^{j delta_fc[i] j}
-        conj_p = np.conj(np.repeat(self._preamble, w))
-        j = np.arange(sw)
-        frames = x[i[:, None] + j[None, :]]
-        rot = np.exp(1j * delta_fc[:, None] * j[None, :])
-        L = (frames * rot * conj_p[None, :]).sum(axis=1) * scale
-        phase_off = -np.angle(L)
-        corr_peak = np.abs(L).astype(np.int64)
-        corr_peak = np.where(scale != 0, corr_peak, 0)
-        return scale, delta_fc, phase_off, corr_peak
+        if self._search is None:
+            self._search = make_sync_search(
+                self._preamble, self._symbol_width, self._data_width,
+                NUM_HEADER_BITS, self._input_threshold,
+            )
+        lp = bucket_len(len(x), minimum=max(2 * self._frame_width, 1024))
+        xpad = np.zeros((lp, 2), np.float32)
+        xpad[: len(x)] = cplx.to_planar(x)
+        n_pad = lp - self._frame_width + 1
+        scale, delta_fc, phase_off, corr_peak = self._search(xpad, n_pad)
+        return scale[:n], delta_fc[:n], phase_off[:n], corr_peak[:n]
 
     def _process_header_bits(self, x: np.ndarray, delta_fc, scale, phase_off):
-        """Reference :699-743; returns (first_bit, fields or None)."""
-        sw, dw, fw = self._sync_word_width, self._data_width, self._frame_width
-        sym = np.conj(self._preamble[-1])
-        first_bit = sw + dw // 2
-        first_bit_peak = 0.0
-        start = sw - (dw * self._symbol_width) // 2
-        for i in range(start, fw):
-            bit = x[i] * scale * np.exp(1j * (phase_off + delta_fc * i)) * sym
-            if bit.real > first_bit_peak:
-                if first_bit_peak == 0:
-                    continue
-                break
-            first_bit = i
-            first_bit_peak = bit.real
-        if first_bit_peak == 0:
-            return first_bit, None
-        idx = first_bit + dw * np.arange(NUM_HEADER_BITS)
-        rot = scale * np.exp(1j * (phase_off + delta_fc * idx))
-        bits = ((x[idx] * rot * sym).real > 0).astype(np.uint8)
-        return first_bit, decode_header_word(bits)
+        return process_header_bits(
+            x, delta_fc, scale, phase_off, self._sync_word_width,
+            self._symbol_width, self._data_width, self._frame_width,
+            self._preamble[-1],
+        )
 
     def work(self):
         port = self.input(0)
@@ -661,70 +695,63 @@ class FrameSync(Block):
             port.set_reserve(require)
             return
         n = avail - require + 1
-        scale, delta_fc, phase_off, corr_peak = self._search_arrays(x, n)
+        arrays = self._search_arrays(x, n)
 
-        # acceptance automaton (exact reference semantics :488-502)
-        for i in range(n):
-            cp = int(corr_peak[i])
-            if cp > self._max_corr_peak and cp > self._corr_mag_thresh:
-                self._max_corr_peak = cp
-                self._count_since_max = 0
-                self._delta_fc_max = float(delta_fc[i])
-                self._phase_off_max = float(phase_off[i])
-                self._scale_at_max = float(scale[i])
-            self._count_since_max += 1
-            if self._max_corr_peak < self._corr_mag_thresh:
-                continue
-            if self._count_since_max < self._corr_dur_thresh:
-                continue
-
-            self._max_corr_peak = 0
-            frame_offset = i - self._count_since_max
+        def try_decode(frame_offset, st):
+            """Header decode + validity checks (reference :533-536);
+            None keeps the automaton walking."""
             first_bit, fields = self._process_header_bits(
-                x[frame_offset:], self._delta_fc_max, self._scale_at_max,
-                self._phase_off_max,
+                x[frame_offset:], st["delta_fc_max"], st["scale_at_max"],
+                st["phase_off_max"],
             )
             if fields is None or fields["error"]:
-                continue
+                return None
             if fields["chksum"] != header_checksum(fields["id"],
                                                    fields["length"]):
-                continue
+                return None
             if fields["id"] != self._header_id:
-                continue
+                return None
             if fields["length"] == 0:
-                continue
-            length = fields["length"]
+                return None
+            return first_bit, fields["length"]
 
-            label_width = 1 if mode == "TIMING" else self._data_width
-            payload_offset = (frame_offset + first_bit
-                              + NUM_HEADER_BITS * self._data_width
-                              + label_width // 2)
-            label_start = 0
-            label_end = (length - 1) * label_width
-            self._remaining_payload = length * self._data_width
-            self._phase_inc = self._delta_fc_max
-            self._phase = self._phase_off_max + self._phase_inc * self._frame_width
-            if mode == "DEBUG":
-                backup = min(payload_offset, self._frame_width)
-                label_start += backup
-                label_end += backup
-                self._phase -= self._phase_inc * backup
-                self._remaining_payload += backup
-                payload_offset -= backup
-
-            if self._phase_offset_id:
-                out.post_label(Label(self._phase_offset_id, self._phase,
-                                     label_start, label_width))
-            if self._frame_start_id:
-                out.post_label(Label(self._frame_start_id, length,
-                                     label_start, label_width))
-            if self._frame_end_id:
-                out.post_label(Label(self._frame_end_id, length,
-                                     label_end, label_width))
-            port.set_reserve(0)
-            port.consume(payload_offset)
+        hit = run_sync_automaton(self._auto, arrays, self._corr_mag_thresh,
+                                 self._corr_dur_thresh, try_decode)
+        if hit is None:
+            port.consume(n)
             return
-        port.consume(n)
+        _, frame_offset, (first_bit, length) = hit
+
+        label_width = 1 if mode == "TIMING" else self._data_width
+        payload_offset = (frame_offset + first_bit
+                          + NUM_HEADER_BITS * self._data_width
+                          + label_width // 2)
+        label_start = 0
+        label_end = (length - 1) * label_width
+        self._remaining_payload = length * self._data_width
+        self._phase_inc = self._auto["delta_fc_max"]
+        self._phase = (self._auto["phase_off_max"]
+                       + self._phase_inc * self._frame_width)
+        self._scale_at_max = self._auto["scale_at_max"]
+        if mode == "DEBUG":
+            backup = min(payload_offset, self._frame_width)
+            label_start += backup
+            label_end += backup
+            self._phase -= self._phase_inc * backup
+            self._remaining_payload += backup
+            payload_offset -= backup
+
+        if self._phase_offset_id:
+            out.post_label(Label(self._phase_offset_id, self._phase,
+                                 label_start, label_width))
+        if self._frame_start_id:
+            out.post_label(Label(self._frame_start_id, length,
+                                 label_start, label_width))
+        if self._frame_end_id:
+            out.post_label(Label(self._frame_end_id, length,
+                                 label_end, label_width))
+        port.set_reserve(0)
+        port.consume(payload_offset)
 
     def propagate_labels(self, port, labels):
         pass  # labels from input discarded (reference :309-318)

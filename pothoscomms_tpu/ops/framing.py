@@ -1,0 +1,178 @@
+"""Device-side PHY synchronization kernels (jnp / planar complex).
+
+The reference's frame synchronizer walks candidate offsets one sample at
+a time (digital/FrameSync.cpp:470-497) — its most expensive loop. Here
+the whole per-offset search (envelope consistency, frequency estimate,
+dechirped correlation — FrameSync.cpp:595-693) is one fixed-shape jitted
+kernel over planar float32, batched over channels with ``vmap`` and
+shardable over a device mesh with ``shard_map``. Only the tiny
+acceptance automaton and one-off header decode stay on the host
+(blocks/framing.py).
+
+Also here: the preamble correlator's sliding hamming distance
+(digital/PreambleCorrelator.cpp:130-151) as a bit-plane correlation —
+XOR-popcount decomposes into ``dist[i] = C + sum_j x_bits[i+j] @ (1 -
+2*p_bits[j])``, a plain correlation that runs on the MXU (the TPU
+backend has no integer HLOs; bit planes of uint8 symbols are exact in
+float32).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pothoscomms_tpu.parallel import cplx
+
+
+@partial(jax.jit, static_argnames=(
+    "sw", "w", "dw", "npre", "n"))
+def sync_search_planar(x, pre, thr, sw: int, w: int, dw: int, npre: int,
+                       n: int):
+    """Per-offset frame-search arrays for offsets 0..n-1.
+
+    x: [L, 2] planar float32 with L >= n + sw + header width - 1 (callers
+    pad; padded offsets are sliced away on the host). pre: [npre, 2]
+    planar preamble. Returns (scale, delta_fc, phase_off, corr_peak),
+    each [n] float32 (corr_peak pre-floored to integer semantics).
+
+    Numerics follow digital/FrameSync.cpp:595-693; see
+    blocks/framing.py FrameSync for the acceptance automaton.
+    """
+    i = jnp.arange(n)
+    absx = cplx.cabs(x)
+    cs = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(absx)])
+
+    def winsum(lo, hi):
+        return cs[i + hi] - cs[i + lo]
+
+    # envelope consistency + scale estimate (reference :596-634);
+    # symbol span in samples is w = symbol_width * data_width
+    begin0, end0 = dw, w // 2
+    sum0 = winsum(begin0, end0) / (end0 - begin0)
+    begin1, end1 = sw - w // 2, sw - dw
+    sum1 = winsum(begin1, end1) / (end1 - begin1)
+    p_abs_f = cplx.cabs(pre[0])
+    p_abs_l = cplx.cabs(pre[-1])
+    ok = (absx[i + dw] >= thr) & (absx[i + sw - dw] >= thr)
+    ok &= sum0 >= thr
+    s0 = sum0 / p_abs_f
+    ok &= sum1 >= thr
+    s1 = sum1 / p_abs_l
+    safe_s1 = jnp.where(s1 == 0, 1.0, s1)
+    ratio = jnp.where(s1 != 0, s0 / safe_s1, jnp.inf)
+    ok &= (ratio <= 2) & (ratio >= 0.5)
+    scale = jnp.where(ok, 2.0 / jnp.where(ok, s0 + s1, 1.0), 0.0)
+
+    # frequency-offset estimate (reference :640-664): sliding sum of
+    # y[j] = x[j] conj(x[j+delta]) across the final preamble symbol
+    delta = w // 2
+    pad = dw
+    y = cplx.mul(x[:-delta], cplx.conj(x[delta:]))
+    cy = jnp.concatenate(
+        [jnp.zeros((1, 2), jnp.float32), jnp.cumsum(y, axis=0)], axis=0)
+    off = w * (npre - 1)
+    lo = off + pad
+    hi = off + w - delta - pad
+    K = cy[i + hi] - cy[i + lo]
+    delta_fc = jnp.where(
+        scale != 0, jnp.arctan2(K[..., 1], K[..., 0]) / delta, 0.0)
+
+    # frequency-corrected (dechirped) correlation (reference :670-693)
+    j = jnp.arange(sw)
+    conj_p = cplx.conj(jnp.repeat(pre, w, axis=0))       # [sw, 2]
+    frames = x[i[:, None] + j[None, :]]                  # [n, sw, 2]
+    ang = delta_fc[:, None] * j[None, :]
+    rot = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+    prod = cplx.mul(cplx.mul(frames, rot), conj_p[None, :, :])
+    L = jnp.sum(prod, axis=1) * scale[:, None]
+    phase_off = -jnp.arctan2(L[..., 1], L[..., 0])
+    corr_peak = jnp.where(scale != 0, jnp.floor(cplx.cabs(L)), 0.0)
+    return scale, delta_fc, phase_off, corr_peak
+
+
+def make_sync_search(preamble: np.ndarray, symbol_width: int,
+                     data_width: int, num_header_bits: int,
+                     input_threshold: float):
+    """Close over frame-sync settings -> search(x_padded, n) callable.
+
+    Returned fn takes planar x [L, 2] (numpy or jnp) and a static valid-
+    offset count n, and returns numpy float arrays. Shapes must be
+    bucketed by the caller to bound recompilation.
+    """
+    pre = np.asarray(preamble)
+    npre = len(pre)
+    w = symbol_width * data_width
+    sw = w * npre
+    pre_p = jnp.asarray(cplx.to_planar(pre))
+    thr = float(input_threshold)
+
+    def search(x_planar, n: int):
+        s, d, p, c = sync_search_planar(
+            jnp.asarray(x_planar), pre_p, thr, sw, w, data_width, npre, n)
+        return (np.asarray(s), np.asarray(d), np.asarray(p),
+                np.asarray(c).astype(np.int64))
+
+    return search
+
+
+# --------------------------------------------------------------------- #
+# Preamble correlator: sliding hamming distance as bit-plane correlation
+# --------------------------------------------------------------------- #
+def _bitplane_weights(preamble: np.ndarray, nbits: int = 8):
+    """Preamble -> (weight [P*nbits], bias) so that
+    dist[i] = bias + sum over window of x bit-planes * weight."""
+    p = np.asarray(preamble, np.uint8)
+    pb = ((p[:, None] >> np.arange(nbits)[None, :]) & 1).astype(np.float32)
+    weight = 1.0 - 2.0 * pb            # [P, nbits]
+    bias = float(pb.sum())
+    return weight, bias
+
+
+@partial(jax.jit, static_argnames=("plen", "nbits", "n"))
+def hamming_profile(x, weight, bias, plen: int, nbits: int, n: int):
+    """Sliding hamming distance of an uint8-symbol stream vs a preamble.
+
+    x: [L] float32 symbol values (integer-valued, < 2**nbits), L >= n +
+    plen - 1. weight: [plen, nbits] from _bitplane_weights. Returns [n]
+    float32 distances (exact integers).
+
+    dist[i] = bias + sum_j xb[i+j] . weight[j] — a "valid" correlation
+    over the bit-plane feature axis (XLA convs correlate, no flip).
+    """
+    k = (2.0 ** jnp.arange(nbits)).astype(jnp.float32)
+    xb = (jnp.floor(x[:, None] / k[None, :]) % 2.0).astype(jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        xb.T[None],                                      # [1, nbits, L]
+        weight.T[None],                                  # [1, nbits, plen]
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        preferred_element_type=jnp.float32,
+    )
+    return bias + out[0, 0, :n]
+
+
+def make_hamming_profile(preamble: np.ndarray, nbits: int = 8):
+    """Close over the preamble -> profile(x_uint8, n) -> numpy int."""
+    weight, bias = _bitplane_weights(preamble, nbits)
+    wj = jnp.asarray(weight)
+    plen = len(np.asarray(preamble))
+
+    def profile(x, n: int):
+        xf = jnp.asarray(np.asarray(x, np.float32))
+        d = hamming_profile(xf, wj, bias, plen, nbits, n)
+        return np.asarray(d).astype(np.int64)
+
+    return profile
+
+
+def bucket_len(n: int, minimum: int = 1024) -> int:
+    """Round up to the next power of two (>= minimum) so per-work jit
+    recompilation stays bounded."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
