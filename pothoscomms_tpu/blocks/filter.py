@@ -128,6 +128,11 @@ class FIRFilter(Block):
             if self.dtype.is_complex and not self._complex_taps:
                 # real taps applied to complex stream: promote to complex
                 self._taps_q = self._taps_q.astype(self.dtype.np)
+            if self.dtype.is_complex:
+                # planar-f32 taps for backends without complex HLOs
+                tq = np.asarray(self._taps_q, np.complex128)
+                self._taps_planar = np.stack(
+                    [tq.real, tq.imag], axis=-1).astype(np.float32)
         else:
             qbits = DType.parse(Q_ACCUMULATOR[self.dtype.scalar.name]).bits
             self._half_shift = qbits // 2
@@ -194,11 +199,24 @@ class FIRFilter(Block):
                 self._eob_samps_left = 0
             return
 
-        y = fops.polyphase_fir(
-            jnp.asarray(xh[: N + K - 1]), jnp.asarray(self._taps_q),
-            M, L, K, self._kind, self._half_shift,
-        )
-        out = np.asarray(y)
+        if (self._kind == "float" and self.dtype.is_complex
+                and jax.default_backend() != "cpu"):
+            # no complex HLOs on this backend: planar f32 device path
+            # (same policy as FFTBlock.work)
+            xin = np.asarray(xh[: N + K - 1], np.complex64)
+            xp = np.stack([xin.real, xin.imag], -1)
+            y = fops.polyphase_fir(
+                jnp.asarray(xp), jnp.asarray(self._taps_planar),
+                M, L, K, "planar", 0,
+            )
+            yp = np.asarray(y)
+            out = (yp[..., 0] + 1j * yp[..., 1]).astype(self.dtype.np)
+        else:
+            y = fops.polyphase_fir(
+                jnp.asarray(xh[: N + K - 1]), jnp.asarray(self._taps_q),
+                M, L, K, self._kind, self._half_shift,
+            )
+            out = np.asarray(y)
         if self._kind == "float":
             out = out.astype(self.dtype.np)
         elif self._kind == "int":

@@ -89,8 +89,10 @@ def test_unary_float_blocks(path, fn):
     x = (rng.uniform(0.1, 4.0, size=2048)).astype(np.float32)
     blk = BlockRegistry.make(path, "float32")
     out = run_one(blk, x, "float32")
-    np.testing.assert_allclose(out, fn(x.astype(np.float64)), rtol=2e-5,
-                               atol=2e-6)
+    # the TPU VPU's transcendental approximations are coarser than libm
+    rtol, atol = (2e-5, 2e-6) if ON_CPU else (1e-3, 1e-4)
+    np.testing.assert_allclose(out, fn(x.astype(np.float64)), rtol=rtol,
+                               atol=atol)
 
 
 def test_trigonometric_sin_f32():
