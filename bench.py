@@ -1,14 +1,24 @@
 """North-star benchmark: 256-channel FIR+FFT chain throughput per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 - metric: fir_fft_256ch_throughput
 - value: Msamples/s through the fused FIR(64-tap complex) -> FFT(1024)
   chain on the available accelerator (falls back to CPU when no TPU).
-- vs_baseline: speedup vs a single-thread numpy implementation of the
-  same chain on this host (the reference PothosComms is a CPU/SIMD block
-  library and publishes no numbers — BASELINE.md — so same-host CPU is
-  the stand-in baseline).
+- vs_baseline: speedup vs an FFT-overlap-save numpy implementation of
+  the same chain on this host (the reference PothosComms is a CPU/SIMD
+  block library and publishes no numbers — BASELINE.md).
+- eff_tflops / mfu: achieved FLOP rate of the executed work
+  (parallel/profiling.chain_flops: the combined FIR*DFT operator) and
+  its fraction of this chip's measured practical matmul peak
+  (benches/probe_tpu.py: 21.3 TFLOP/s f32 at Precision.HIGH on 4096^3,
+  the precision the chain runs at — the v5e paper number is not
+  achievable through this virtualized relay).
+
+Timing discipline (see .claude/skills/verify): the device relay
+memoizes identical executions and lazily materializes results, so the
+loop cycles a pool of never-before-seen inputs, chains the carry, and
+fetches a value from every result.
 """
 
 import json
@@ -17,17 +27,30 @@ import time
 
 import numpy as np
 
+MEASURED_PEAK_TFLOPS = 21.3  # f32 HIGH matmul, this chip (probe_tpu.py)
+
 
 def numpy_baseline(x, taps, nbins, iters=2):
-    """Single-thread numpy: per-channel lfilter-style FIR + batched FFT."""
+    """FFT-overlap-save FIR + batched FFT in numpy (the honest same-host
+    baseline: frequency-domain convolution, all channels batched)."""
     c, t, _ = x.shape
-    xc = x[..., 0] + 1j * x[..., 1]
+    xc = (x[..., 0] + 1j * x[..., 1]).astype(np.complex64)
     h = np.asarray(taps, np.complex64)
+    k = len(h)
+    L = 4096  # overlap-save block
+    step = L - (k - 1)
+    H = np.fft.fft(h, L)
     t0 = time.perf_counter()
     for _ in range(iters):
-        y = np.empty_like(xc)
-        for ch in range(c):
-            y[ch] = np.convolve(xc[ch], h, mode="full")[: t]
+        ext = np.concatenate([np.zeros((c, k - 1), np.complex64), xc], axis=1)
+        y = np.empty((c, t), np.complex64)
+        for s in range(0, t, step):
+            blk = ext[:, s: s + L]
+            if blk.shape[1] < L:
+                blk = np.pad(blk, ((0, 0), (0, L - blk.shape[1])))
+            yb = np.fft.ifft(np.fft.fft(blk, axis=-1) * H, axis=-1)
+            n = min(step, t - s)
+            y[:, s: s + n] = yb[:, k - 1: k - 1 + n]
         frames = y.reshape(c * (t // nbins), nbins)
         _ = np.fft.fft(frames, axis=-1)
     dt = (time.perf_counter() - t0) / iters
@@ -38,26 +61,24 @@ def main():
     import jax
     import jax.numpy as jnp
     from pothoscomms_tpu.parallel.chain import fir_fft_chain
+    from pothoscomms_tpu.parallel.profiling import chain_flops
 
-    C, T, K, NBINS = 256, 32768, 64, 1024
+    C, T, K, NBINS = 256, 131072, 64, 1024
     rng = np.random.default_rng(0)
     taps = (rng.normal(size=K) + 1j * rng.normal(size=K)) / K
-    x_np = rng.normal(size=(C, T, 2)).astype(np.float32)
 
-    run, hist0 = fir_fft_chain(taps, NBINS, C, T)
-    x = jnp.asarray(x_np)
-    carry = hist0
+    run, carry = fir_fft_chain(taps, NBINS, C, T)
 
-    # warmup + compile
-    spec, carry = run(x, carry)
-    _ = float(jnp.sum(spec))  # forced device->host sync (tunnel-safe)
+    # warmup + compile on a fresh input; force the value (lazy relay)
+    iters = 6
+    pool = []
+    for _ in range(iters + 1):
+        x = jnp.asarray(rng.normal(size=(C, T, 2)).astype(np.float32))
+        _ = float(jnp.sum(x))  # materialize before timing
+        pool.append(x)
+    spec, carry = run(pool[-1], carry)
+    _ = float(jnp.sum(spec))
 
-    # the device relay memoizes identical executions, so the timing loop
-    # cycles a no-repeat pool of inputs with the carry chained through
-    iters = 8
-    pool = [jnp.asarray(rng.normal(size=(C, T, 2)).astype(np.float32))
-            for _ in range(iters)]
-    _ = float(jnp.sum(pool[-1]))  # materialize the pool before timing
     t0 = time.perf_counter()
     for i in range(iters):
         spec, carry = run(pool[i], carry)
@@ -66,12 +87,16 @@ def main():
     assert np.isfinite(checksum)
     samples_per_s = C * T / dt
 
-    base = numpy_baseline(x_np[:, : T // 8], taps, NBINS) * 1.0
+    flops = chain_flops(C, T, K, NBINS)
+    eff_tflops = flops["executed_gflop"] / dt / 1e3
+    base = numpy_baseline(np.asarray(pool[0][:, : T // 16]), taps, NBINS)
     result = {
         "metric": "fir_fft_256ch_throughput",
         "value": round(samples_per_s / 1e6, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(samples_per_s / base, 2),
+        "eff_tflops": round(eff_tflops, 2),
+        "mfu": round(eff_tflops / MEASURED_PEAK_TFLOPS, 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -153,16 +153,100 @@ def fir_fft_step_mm(x, history, t0, t1, nbins: int):
     return spec.reshape(c, t // nbins, nbins, 2), hist
 
 
+# ---------------------------------------------------------------------- #
+# Combined FIR*DFT operator — the fastest formulation measured on this
+# chip (benches/probe_tpu5-8.py): the whole FIR -> windowed-FFT chain is
+# TWO complex matmuls per 1024-window,
+#
+#     spec_w = x_w @ G0 + prev_tail_w @ G1,   G = Toeplitz(h) . F
+#
+# each evaluated as THREE real matmuls (Karatsuba: yi from
+# (ar+ai)(br+bi) - arbr - aibi) at Precision.HIGH. Rationale, measured:
+# the separate Toeplitz-FIR + two-stage-FFT program spends most of its
+# time in inter-matmul data movement (precision changes move it <2%);
+# folding everything into one dense operator trades 3x the FLOPs for a
+# single FLOP-bound matmul pair and wins ~1.9x end to end. G matrices
+# are passed as ARGUMENTS, not closure constants — megabyte HLO
+# constants choke the remote compiler.
+# ---------------------------------------------------------------------- #
+def combined_fir_fft_operators(taps, nbins: int, prev_pad: int = 128):
+    """(G0 [nbins, nbins], G1 [prev_pad, nbins]) real/imag planes for the
+    combined operator; prev_pad >= len(taps)-1."""
+    h = np.asarray(taps, np.complex128)
+    k = len(h)
+    assert k - 1 <= prev_pad
+    t0 = np.zeros((nbins, nbins), np.complex128)
+    t1 = np.zeros((prev_pad, nbins), np.complex128)
+    for d in range(k):
+        for j in range(nbins):
+            i = j - d
+            if i >= 0:
+                t0[i, j] = h[d]
+            else:
+                t1[prev_pad + i, j] = h[d]
+    f = np.exp(-2j * np.pi * np.outer(np.arange(nbins),
+                                      np.arange(nbins)) / nbins)
+    g0 = t0 @ f
+    g1 = t1 @ f
+    pl = lambda z: (jnp.asarray(z.real.astype(np.float32)),
+                    jnp.asarray(z.imag.astype(np.float32)))
+    return pl(g0), pl(g1)
+
+
+@partial(jax.jit, static_argnames=("nbins", "k", "prev_pad"))
+def fir_fft_combined_step(x, hist, g0r, g0i, g0s, g1r, g1i, g1s,
+                          nbins: int, k: int, prev_pad: int):
+    """One combined FIR+FFT step: x [C, T, 2] -> (spectra
+    [C, T//nbins, nbins, 2], new_hist [C, k-1, 2])."""
+    c, t, _ = x.shape
+    nw = t // nbins
+    xw = x.reshape(c, nw, nbins, 2)
+    first = jnp.concatenate(
+        [jnp.zeros((c, 1, prev_pad - (k - 1), 2), x.dtype),
+         hist[:, None]], axis=2)
+    prev = jnp.concatenate(
+        [first, xw[:, :-1, nbins - prev_pad:, :]], axis=1)
+    mm = lambda a, w: jnp.matmul(a, w, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGH)
+
+    def cmm3(a, wr, wi, ws):
+        ar, ai = a[..., 0], a[..., 1]
+        p1 = mm(ar, wr)
+        p2 = mm(ai, wi)
+        p3 = mm(ar + ai, ws)
+        return p1 - p2, p3 - p1 - p2
+
+    yr0, yi0 = cmm3(xw, g0r, g0i, g0s)
+    yr1, yi1 = cmm3(prev, g1r, g1i, g1s)
+    spec = jnp.stack([yr0 + yr1, yi0 + yi1], axis=-1)
+    new_hist = x[:, t - (k - 1):, :] if k > 1 else x[:, :0, :]
+    return spec, new_hist
+
+
 def fir_fft_chain(taps, nbins: int, channels: int, block: int,
                   decim: int = 1):
     """Build the jitted chain closure + initial carry for given shapes.
 
-    Uses the MXU matmul-FIR path when shapes allow (decim 1, <=128 taps,
-    time a multiple of 128); conv path otherwise.
+    decim == 1 with <= 129-tap filters and block % nbins == 0 uses the
+    combined FIR*DFT operator (fastest measured on this chip; see
+    combined_fir_fft_operators). Falls back to the square-Toeplitz
+    matmul FIR + matmul FFT, then the conv path for rational rates.
     """
     taps = np.asarray(taps)
     k = len(taps)
     hist0 = jnp.zeros((channels, k - 1, 2), jnp.float32)
+    prev_pad = 128
+    if decim == 1 and k - 1 <= prev_pad and block % nbins == 0 and k > 1:
+        (g0r, g0i), (g1r, g1i) = combined_fir_fft_operators(
+            taps, nbins, prev_pad)
+        g0s = g0r + g0i
+        g1s = g1r + g1i
+
+        def run(x, carry):
+            return fir_fft_combined_step(
+                x, carry, g0r, g0i, g0s, g1r, g1i, g1s, nbins, k, prev_pad)
+
+        return run, hist0
     if decim == 1 and k <= 128 and block % 128 == 0:
         t0, t1 = fir_toeplitz_matrices(taps)
 

@@ -37,22 +37,28 @@ def annotate(name: str):
 
 
 def chain_flops(channels: int, time: int, taps: int, nbins: int,
-                toeplitz_block: int = 128) -> dict:
+                prev_pad: int = 128) -> dict:
     """FLOP/byte model of the fused FIR+FFT step (planar complex f32).
 
-    FIR (block-Toeplitz): 2 complex matmuls per block -> 8 real MACs per
-    sample per block column. FFT (two-factor matmul): N1+N2 complex MACs
-    per sample plus the twiddle multiply.
+    - ``necessary``: the algorithmically required work — a K-tap complex
+      FIR (8 flops/complex MAC) plus a two-factor matmul FFT
+      (N1+N2 complex MACs/sample + twiddle).
+    - ``executed``: what the production combined-operator path actually
+      runs — (nbins + prev_pad) complex MACs per sample through
+      Karatsuba 3-matmul complex multiplies (6 real flops per MAC).
+      The gap is deliberate: on this chip the dense single-operator
+      form is FLOP-bound and still ~1.9x faster end to end than the
+      movement-bound minimal-FLOP form (benches/probe_tpu5-8.py).
     """
     samples = channels * time
-    fir_flops = samples * toeplitz_block * 2 * 8  # T0+T1, cplx MAC = 8 flops
     n1 = max(nbins // 128, 1)
     n2 = nbins // n1
-    fft_flops = samples * (n1 + n2) * 8 + samples * 6
+    necessary = samples * taps * 8 + samples * ((n1 + n2) * 8 + 6)
+    executed = samples * (nbins + prev_pad) * 6
     bytes_moved = samples * 2 * 4 * 2  # planar in + spectra out
     return {
-        "fir_gflop": round(fir_flops / 1e9, 2),
-        "fft_gflop": round(fft_flops / 1e9, 2),
-        "total_gflop": round((fir_flops + fft_flops) / 1e9, 2),
+        "necessary_gflop": round(necessary / 1e9, 2),
+        "executed_gflop": round(executed / 1e9, 2),
+        "total_gflop": round(executed / 1e9, 2),  # back-compat alias
         "hbm_mbytes": round(bytes_moved / 1e6, 1),
     }

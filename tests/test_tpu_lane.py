@@ -198,6 +198,51 @@ def test_fused_fir_fft_chain_oracle():
         np.asarray(hist), x[:, T - (K - 1):, :], atol=0)
 
 
+def test_compiled_fm_chain_256ch_oracle():
+    """BASELINE config #4 chain (freq_demod -> dc_removal ->
+    envelope_detector) fused via compile_chain, vs a numpy oracle."""
+    from pothoscomms_tpu.parallel.compiler import compile_chain
+
+    rng = np.random.default_rng(20)
+    C, T, D, CASC = 8, 2048, 16, 2
+    demod = BlockRegistry.make("/comms/freq_demod", "complex_float32")
+    dc = BlockRegistry.make("/comms/dc_removal", "float32")
+    dc.set_average_size(D)
+    dc.set_cascade_size(CASC)
+    env = BlockRegistry.make("/comms/envelope_detector", "float32")
+    env.set_attack(10.0)
+    env.set_release(40.0)
+    step, carry0 = compile_chain([demod, dc, env], channels=C)
+
+    phase = np.cumsum(rng.uniform(-0.5, 0.5, size=(C, T)), axis=1)
+    x = np.stack([np.cos(phase), np.sin(phase)], -1).astype(np.float32)
+    y, _ = step(jnp.asarray(x), carry0)
+    y = np.asarray(y)
+
+    # numpy oracle
+    xc = x[..., 0] + 1j * x[..., 1]
+    prev = np.concatenate([np.zeros((C, 1), np.complex64), xc[:, :-1]], 1)
+    dm = np.angle(xc * np.conj(prev)).astype(np.float32)
+    cur = dm
+    for s in range(CASC):
+        ext = np.concatenate([np.zeros((C, D), np.float32), cur], axis=1)
+        cs = np.cumsum(ext, axis=1)
+        avg = (cs[:, D:] - cs[:, :-D]) / D
+        if s == 0:
+            delayed = ext[:, 1: 1 + T]
+        cur = avg.astype(np.float32)
+    dced = delayed - cur
+    ga, gr = np.exp(-1.0 / 10.0), np.exp(-1.0 / 40.0)
+    envs = np.zeros(C, np.float64)
+    out = np.empty((C, T), np.float64)
+    mag = np.abs(dced)
+    for t in range(T):
+        g = np.where(mag[:, t] > envs, ga, gr)
+        envs = g * envs + (1.0 - g) * mag[:, t]
+        out[:, t] = envs
+    np.testing.assert_allclose(y, out.astype(np.float32), atol=2e-3)
+
+
 def test_compiled_block_chain_demod():
     """compile_chain over product blocks: freq_demod device core."""
     from pothoscomms_tpu.parallel.compiler import compile_chain
