@@ -272,12 +272,33 @@ def bench_digital_link():
             "kbit_per_s": round(bits / dt / 1e3, 1), "quiesced": bool(ok)}
 
 
+def bench_digital_link_sharded():
+    """BASELINE config #5: full digital link with the RX sync search
+    sharded over the available devices (parallel/link.py)."""
+    import jax
+    from jax.sharding import Mesh
+    from pothoscomms_tpu.parallel.link import run_sharded_link
+
+    n = min(8, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:n]), ("ch",))
+    t0 = time.perf_counter()
+    res = run_sharded_link(mesh, n_channels=2 * n, n_bits=64, seed=17,
+                           noise=0.01)
+    dt = time.perf_counter() - t0
+    return {"metric": "digital_link_sharded",
+            "value": sum(res["bit_exact"]),
+            "unit": f"bit-exact channels of {res['channels']}",
+            "devices": res["devices"], "all_exact": res["all_exact"],
+            "seconds": round(dt, 2)}
+
+
 ALL = {
     "fir_1ch": bench_fir_1ch,
     "fft_64ch_1024": bench_fft_64ch_1024,
     "resampler_3_2": bench_resampler_3_2,
     "fm_chain_256ch": bench_fm_chain_256ch,
     "digital_link": bench_digital_link,
+    "digital_link_sharded": bench_digital_link_sharded,
 }
 
 

@@ -223,20 +223,89 @@ def fir_fft_combined_step(x, hist, g0r, g0i, g0s, g1r, g1i, g1s,
     return spec, new_hist
 
 
+# ---------------------------------------------------------------------- #
+# Circular-correction formulation: per 1024-window,
+#
+#     spec_w = FFT(x_w) . H  +  u_w @ Gc
+#
+# where H = FFT(h, nbins) (convolution theorem gives the CIRCULAR
+# convolution's spectrum) and the small matmul corrects circular ->
+# linear: only outputs j < K-1 differ, by
+#     Delta[j] = sum_{m=1..K-1-j} h[j+m] * (prev[-m] - x_w[-m]),
+# so with u_w[m-1] = prev_tail[-m] - x_w[-m] (K-1 values) and
+# Gc[m-1, k] = sum_j h[j+m] F[j, k] precomputed, FFT(Delta) = u_w @ Gc.
+# Cost per sample: ~(n1+n2) FFT MACs + 1 (H) + (K-1)/nbins matmul —
+# ~4x fewer FLOPs than the dense combined operator. Measured on this
+# chip it is nonetheless SLOWER (1547 vs 2461 Msamp/s at T=131072): the
+# two-factor FFT's transposes/reshapes make it movement-bound, and the
+# saved FLOPs don't pay for the extra passes. Kept as the minimal-FLOP
+# reference formulation (exercised by tests); the production dispatch
+# uses the combined operator below.
+# ---------------------------------------------------------------------- #
+def circ_correction_operators(taps, nbins: int):
+    """(H [nbins] planar, Gc [K-1, nbins] planes) for the circular-
+    correction chain."""
+    h = np.asarray(taps, np.complex128)
+    k = len(h)
+    H = np.fft.fft(h, nbins)
+    f = np.exp(-2j * np.pi * np.outer(np.arange(nbins),
+                                      np.arange(nbins)) / nbins)
+    gc = np.zeros((k - 1, nbins), np.complex128)
+    for m in range(1, k):
+        for j in range(0, k - m):
+            gc[m - 1] += h[j + m] * f[j]
+    pl = lambda z: (jnp.asarray(z.real.astype(np.float32)),
+                    jnp.asarray(z.imag.astype(np.float32)))
+    Hp = jnp.asarray(np.stack([H.real, H.imag], -1).astype(np.float32))
+    return Hp, pl(gc)
+
+
+@partial(jax.jit, static_argnames=("nbins", "k"))
+def fir_fft_circ_step(x, hist, Hp, gcr, gci, gcs, nbins: int, k: int):
+    """One circular-correction FIR+FFT step: x [C, T, 2] -> (spectra
+    [C, T//nbins, nbins, 2], new_hist [C, k-1, 2])."""
+    from pothoscomms_tpu.parallel import cplx
+    from pothoscomms_tpu.parallel.fft import fft_planar
+
+    c, t, _ = x.shape
+    nw = t // nbins
+    xw = x.reshape(c, nw, nbins, 2)
+    spec = fft_planar(xw.reshape(c * nw, nbins, 2), nbins, False)
+    spec = cplx.mul(spec.reshape(c, nw, nbins, 2), Hp[None, None])
+
+    # u_w[m-1] = prev_tail[-m] - x_w[-m], m = 1..K-1: reversed tails
+    tails = xw[:, :, nbins - (k - 1):, :][:, :, ::-1, :]  # [c, nw, K-1, 2]
+    prev_tails = jnp.concatenate(
+        [hist[:, None, ::-1, :], tails[:, :-1]], axis=1)
+    u = prev_tails - tails
+    mm = lambda a, w: jnp.matmul(a, w, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGH)
+    ur, ui = u[..., 0], u[..., 1]
+    p1 = mm(ur, gcr)
+    p2 = mm(ui, gci)
+    p3 = mm(ur + ui, gcs)
+    delta = jnp.stack([p1 - p2, p3 - p1 - p2], axis=-1)
+    spec = spec + delta
+    new_hist = x[:, t - (k - 1):, :] if k > 1 else x[:, :0, :]
+    return spec, new_hist
+
+
 def fir_fft_chain(taps, nbins: int, channels: int, block: int,
                   decim: int = 1):
     """Build the jitted chain closure + initial carry for given shapes.
 
     decim == 1 with <= 129-tap filters and block % nbins == 0 uses the
-    combined FIR*DFT operator (fastest measured on this chip; see
-    combined_fir_fft_operators). Falls back to the square-Toeplitz
-    matmul FIR + matmul FFT, then the conv path for rational rates.
+    combined FIR*DFT operator (fastest measured on this chip — 2461
+    Msamp/s vs 1547 for the minimal-FLOP circular-correction path and
+    ~1330 for separate Toeplitz FIR + FFT). Falls back to the
+    square-Toeplitz matmul FIR + matmul FFT, then the conv path for
+    rational rates.
     """
     taps = np.asarray(taps)
     k = len(taps)
     hist0 = jnp.zeros((channels, k - 1, 2), jnp.float32)
     prev_pad = 128
-    if decim == 1 and k - 1 <= prev_pad and block % nbins == 0 and k > 1:
+    if decim == 1 and 1 < k <= prev_pad + 1 and block % nbins == 0:
         (g0r, g0i), (g1r, g1i) = combined_fir_fft_operators(
             taps, nbins, prev_pad)
         g0s = g0r + g0i

@@ -14,6 +14,15 @@ shape.
 
 On CPU (tests) the kernel runs in interpreter mode; on unsupported
 setups the caller falls back to jnp matmuls (cplx.matmul).
+
+Measured outcome on this chip (benches/probe_tpu.py round 1, compiled
+mode, chained inputs): the fused Pallas FFT runs correct (3.7e-9 vs the
+XLA factorization) but ~2.5x SLOWER than the XLA matmul FFT — per-grid
+-step overhead through this backend dominates the saved HBM traffic.
+The production chain therefore uses the combined FIR*DFT matmul
+operator (parallel/chain.py) instead; these kernels stay as the Pallas
+reference implementation, exercised in compiled mode by the TPU test
+lane (tests/test_tpu_lane.py).
 """
 
 from __future__ import annotations

@@ -36,25 +36,27 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
-def chain_flops(channels: int, time: int, taps: int, nbins: int,
-                prev_pad: int = 128) -> dict:
+def chain_flops(channels: int, time: int, taps: int, nbins: int) -> dict:
     """FLOP/byte model of the fused FIR+FFT step (planar complex f32).
 
-    - ``necessary``: the algorithmically required work — a K-tap complex
-      FIR (8 flops/complex MAC) plus a two-factor matmul FFT
-      (N1+N2 complex MACs/sample + twiddle).
-    - ``executed``: what the production combined-operator path actually
-      runs — (nbins + prev_pad) complex MACs per sample through
-      Karatsuba 3-matmul complex multiplies (6 real flops per MAC).
-      The gap is deliberate: on this chip the dense single-operator
-      form is FLOP-bound and still ~1.9x faster end to end than the
-      movement-bound minimal-FLOP form (benches/probe_tpu5-8.py).
+    - ``necessary``: the work of the naive formulation — a K-tap
+      time-domain complex FIR (8 flops/complex MAC) plus a two-factor
+      matmul FFT (N1+N2 complex MACs/sample + twiddle).
+    - ``executed``: the production combined-operator path
+      (parallel/chain.fir_fft_combined_step): (nbins + prev_pad=128)
+      complex MACs per sample through Karatsuba 3-matmul complex
+      multiplies (6 real flops per MAC). The 3x FLOP overhead over
+      ``necessary`` is deliberate: measured on this chip the dense
+      single-operator form is FLOP-bound and beats both the
+      movement-bound separate form (~1330 Msamp/s) and the minimal-FLOP
+      circular-correction form (1547) at 2461 Msamp/s.
     """
     samples = channels * time
     n1 = max(nbins // 128, 1)
     n2 = nbins // n1
-    necessary = samples * taps * 8 + samples * ((n1 + n2) * 8 + 6)
-    executed = samples * (nbins + prev_pad) * 6
+    fft = (n1 + n2) * 8 + 6
+    necessary = samples * (taps * 8 + fft)
+    executed = samples * (nbins + 128) * 6
     bytes_moved = samples * 2 * 4 * 2  # planar in + spectra out
     return {
         "necessary_gflop": round(necessary / 1e9, 2),
