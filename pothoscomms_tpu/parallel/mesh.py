@@ -36,9 +36,44 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "ch") -> Mesh:
 
 def channel_sharded_fir_fft(mesh: Mesh, taps, nbins: int, decim: int = 1):
     """FIR+FFT chain sharded over channels: [C, T, 2] with C split on the
-    mesh. Returns (jitted fn, init_history fn)."""
-    kernel = complex_fir_kernel(np.asarray(taps))
-    k = kernel.shape[-1]
+    mesh. Returns (jitted fn, init_history fn).
+
+    decim == 1 runs the combined FIR*DFT operator per shard (the fast
+    production formulation, parallel/chain.py) with the G matrices
+    replicated; rational rates use the conv path."""
+    taps = np.asarray(taps)
+    k = len(taps)
+    prev_pad = 128
+
+    if decim == 1 and 1 < k <= prev_pad + 1:
+        from pothoscomms_tpu.parallel.chain import (
+            combined_fir_fft_operators,
+            fir_fft_combined_step,
+        )
+
+        (g0r, g0i), (g1r, g1i) = combined_fir_fft_operators(
+            taps, nbins, prev_pad)
+        g0s = g0r + g0i
+        g1s = g1r + g1i
+
+        @jax.jit
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P("ch"), P("ch"), P(), P(), P(), P(), P(), P()),
+            out_specs=(P("ch"), P("ch")),
+        )
+        def run(x, hist, a, b, c, d, e, f):
+            return fir_fft_combined_step(x, hist, a, b, c, d, e, f,
+                                         nbins, k, prev_pad)
+
+        def init_history(channels: int):
+            return jnp.zeros((channels, k - 1, 2), jnp.float32)
+
+        return (lambda x, h: run(x, h, g0r, g0i, g0s, g1r, g1i, g1s),
+                init_history)
+
+    kernel = complex_fir_kernel(taps)
 
     @jax.jit
     @partial(

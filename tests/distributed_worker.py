@@ -32,7 +32,7 @@ from pothoscomms_tpu.parallel.distributed import (  # noqa: E402
     make_global_mesh,
 )
 from pothoscomms_tpu.parallel.mesh import channel_sharded_fir_fft  # noqa: E402
-from pothoscomms_tpu.parallel.chain import fir_fft_step, complex_fir_kernel  # noqa: E402
+from pothoscomms_tpu.parallel.chain import fir_fft_chain  # noqa: E402
 
 initialize(f"localhost:{port}", num_processes=nprocs, process_id=rank)
 
@@ -59,10 +59,9 @@ h = jax.make_array_from_callback(h_np.shape, sh_x,
 
 spec, hist = run(x, h)
 
-# local single-device reference for the addressable shards
-kernel = complex_fir_kernel(taps)
-ref_spec, ref_hist = fir_fft_step(
-    jnp.asarray(x_np), jnp.asarray(h_np), kernel, NBINS)
+# local single-device reference (same formulation) for the shards
+run_ref, _ = fir_fft_chain(taps, NBINS, C, T)
+ref_spec, ref_hist = run_ref(jnp.asarray(x_np), jnp.asarray(h_np))
 ref_spec = np.asarray(ref_spec)
 
 checked = 0
