@@ -212,10 +212,13 @@ class FIRFilter(Block):
             yp = np.asarray(y)
             out = (yp[..., 0] + 1j * yp[..., 1]).astype(self.dtype.np)
         else:
-            y = fops.polyphase_fir(
-                jnp.asarray(xh[: N + K - 1]), jnp.asarray(self._taps_q),
-                M, L, K, self._kind, self._half_shift,
-            )
+            from pothoscomms_tpu.core.device import compute_scope
+
+            with compute_scope(self.dtype):
+                y = fops.polyphase_fir(
+                    jnp.asarray(xh[: N + K - 1]), jnp.asarray(self._taps_q),
+                    M, L, K, self._kind, self._half_shift,
+                )
             out = np.asarray(y)
         if self._kind == "float":
             out = out.astype(self.dtype.np)
@@ -341,10 +344,19 @@ class IIRFilter(Block):
             x = buf
         b = self._b / self._a[0]
         a = self._a / self._a[0]
-        y, z = fops.iir_df(
-            jnp.asarray(x), jnp.asarray(b), jnp.asarray(a),
-            jnp.asarray(self._state),
-        )
+        from pothoscomms_tpu.core.device import compute_scope, cpu_device
+        import contextlib
+        import jax
+
+        # iir_df computes in f64/complex128 (spuce parity) — host CPU
+        # backend when the accelerator lacks those HLOs
+        scope = (contextlib.nullcontext() if jax.default_backend() == "cpu"
+                 else jax.default_device(cpu_device()))
+        with scope:
+            y, z = fops.iir_df(
+                jnp.asarray(x), jnp.asarray(b), jnp.asarray(a),
+                jnp.asarray(self._state),
+            )
         self._state = np.asarray(z)
         y = np.asarray(y)
         if self.dtype.is_complex_int:
@@ -450,10 +462,13 @@ class DCRemoval(Block):
             x = buf.astype(self._acc_np)
         else:
             x = buf
-        y, hists = fops.dc_removal(
-            jnp.asarray(x), jnp.asarray(self._hists),
-            self._average_size, self._cascade_size, is_int,
-        )
+        from pothoscomms_tpu.core.device import compute_scope
+
+        with compute_scope(self.dtype):
+            y, hists = fops.dc_removal(
+                jnp.asarray(x), jnp.asarray(self._hists),
+                self._average_size, self._cascade_size, is_int,
+            )
         self._hists = np.asarray(hists)
         y = np.asarray(y)
         if self.dtype.is_complex_int or is_int:

@@ -38,7 +38,7 @@ class ElementwiseBlock(Block):
             self.setup_input(i, self.dtype)
         for i in range(n_out):
             self.setup_output(i, self.out_dtype)
-        self._core = jax.jit(core)
+        self._core = self.jit(core)
         self._n_in = n_in
         self._n_out = n_out
 
@@ -87,7 +87,7 @@ class Arithmetic(Block):
         # donate in0 so XLA writes the output in place over the first
         # input's buffer — the TPU-native equivalent of the reference's
         # setReadBeforeWrite in-place inlining (math/Arithmetic.cpp:165-168)
-        self._chain = jax.jit(chain, donate_argnums=(0,))
+        self._chain = self.jit(chain, donate_argnums=(0,))
 
     def set_num_inputs(self, num_inputs: int):
         if num_inputs < 2:
@@ -163,7 +163,7 @@ class ConstArithmetic(Block):
         super().__init__()
         self.dtype = DType.parse(dtype)
         key = _CONST_OP_KEYS.get(operation, operation)
-        self._fcn = jax.jit(ew.const_arith_fn(self.dtype, key))
+        self._fcn = self.jit(ew.const_arith_fn(self.dtype, key))
         self.setup_input(0, self.dtype)
         self.setup_output(0, self.dtype)
         self.set_constant(constant)
@@ -224,7 +224,7 @@ class Scale(Block):
                 return (tmp >> half).astype(out_np)
             return (x * factor_q).astype(out_np)
 
-        self._kernel = jax.jit(kernel)
+        self._kernel = self.jit(kernel)
 
     def set_factor(self, factor: float):
         self._factor = float(factor)
@@ -308,7 +308,7 @@ class Rotate(Block):
                 return (prod >> half).astype(out_np)
             return (x * phasor).astype(out_np)
 
-        self._kernel = jax.jit(kernel)
+        self._kernel = self.jit(kernel)
         self.set_phase(0.0)
 
     def set_phase(self, phase: float):
@@ -368,7 +368,7 @@ class ConstComparator(Block):
         self.dtype = DType.parse(dtype)
         self.setup_input(0, self.dtype)
         self.setup_output(0, DType.parse("int8"))
-        self._cmp = jax.jit(cmp)
+        self._cmp = self.jit(cmp)
         self.set_constant(constant)
 
     def set_constant(self, constant):
@@ -500,7 +500,7 @@ class Trigonometric(ElementwiseBlock):
         if op not in ew.TRIG_OPS:
             raise ValueError(f"invalid trig operation {op}")
         self._op = op
-        self._core = jax.jit(ew.TRIG_OPS[op])
+        self._core = self.jit(ew.TRIG_OPS[op])
 
 
 # --------------------------------------------------------------------- #
@@ -516,7 +516,7 @@ class _ParamUnary(Block):
         self.dtype = DType.parse(dtype)
         self.setup_input(0, self.dtype)
         self.setup_output(0, self.dtype)
-        self._core2 = jax.jit(core2)
+        self._core2 = self.jit(core2)
         self._param = np.asarray(param, np.float64)
 
     def work(self):
@@ -597,7 +597,7 @@ def logn_factory(dtype, base=10.0):
         def set_base(self, b):
             if b <= 1:
                 raise ValueError("logN base must be > 1")
-            self._core = jax.jit(ew.logn_fn(dt, float(b)))
+            self._core = self.jit(ew.logn_fn(dt, float(b)))
             self._base = float(b)
 
         def base(self):
@@ -616,7 +616,7 @@ def expn_factory(dtype, base=10.0):
         def set_base(self, b):
             if b <= 1:
                 raise ValueError("expN base must be > 1")
-            self._core = jax.jit(ew.expn_fn(dt, float(b)))
+            self._core = self.jit(ew.expn_fn(dt, float(b)))
             self._base = float(b)
 
         def base(self):
@@ -645,7 +645,7 @@ class ModF(Block):
         self.setup_input(0, self.dtype)
         self.setup_output("int", self.dtype)
         self.setup_output("frac", self.dtype)
-        self._core = jax.jit(ew.modf_fn(self.dtype))
+        self._core = self.jit(ew.modf_fn(self.dtype))
 
     def work(self):
         port = self.input(0)

@@ -325,6 +325,24 @@ class Block:
             return min(elems, max(min(spaces), 1))
         return elems
 
+    def jit(self, fn: Callable, **jit_kwargs) -> Callable:
+        """jax.jit with the block's dtype-aware device placement: on an
+        accelerator backend that only executes f32/bf16 HLOs (the axon
+        TPU), kernels over int/complex/f64 streams run on the host CPU
+        backend instead (core/device.compute_scope), so the full dtype
+        catalog stays functional in a chip session."""
+        import jax
+
+        jfn = jax.jit(fn, **jit_kwargs)
+
+        def call(*args, **kwargs):
+            from pothoscomms_tpu.core.device import compute_scope
+
+            with compute_scope(getattr(self, "dtype", None)):
+                return jfn(*args, **kwargs)
+
+        return call
+
     def downstream_congested(self) -> bool:
         """True when any downstream input queue is at/over capacity; the
         executor then skips this block until the consumer drains."""

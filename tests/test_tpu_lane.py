@@ -336,6 +336,51 @@ def test_frame_sync_device_search_detects():
     assert labels["rxStart"].data == len(payload)
 
 
+def test_dtype_catalog_fallback_in_chip_session():
+    """Int/complex/f64 block dtypes must stay functional in a chip
+    session: the accelerator backend has no such HLOs, so their kernels
+    run on the host CPU backend (core/device.compute_scope) with full
+    fidelity."""
+    rng = np.random.default_rng(21)
+    # int16 arithmetic with wraparound semantics
+    a = rng.integers(-30000, 30000, 1024).astype(np.int16)
+    b = rng.integers(-30000, 30000, 1024).astype(np.int16)
+    blk = BlockRegistry.make("/comms/arithmetic", "int16", "ADD")
+    fa = FeederSource("int16")
+    fa.feed_buffer(a)
+    fb = FeederSource("int16")
+    fb.feed_buffer(b)
+    sink = CollectorSink("int16")
+    topo = Topology()
+    topo.connect(fa, 0, blk, 0)
+    topo.connect(fb, 0, blk, 1)
+    topo.connect(blk, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    np.testing.assert_array_equal(sink.get_buffer(), a + b)  # wraps
+
+    # complex conjugate
+    x = (rng.normal(size=512) + 1j * rng.normal(size=512)).astype(
+        np.complex64)
+    conj = BlockRegistry.make("/comms/conjugate", "complex_float32")
+    out = run_one(conj, x, "complex_float32")
+    np.testing.assert_array_equal(out, np.conj(x))
+
+    # int16 FIR with Q-format accumulation
+    xi = rng.integers(-1000, 1000, 4096).astype(np.int16)
+    fir = BlockRegistry.make("/comms/fir_filter", "int16")
+    fir.set_taps([0.5, 0.25, 0.125])
+    out = run_one(fir, xi, "int16")
+    assert out.dtype == np.int16 and len(out) > 0
+
+    # float64 IIR (spuce-parity double recursion)
+    xf = rng.normal(size=2048)
+    iir = BlockRegistry.make("/comms/iir_filter", "float64")
+    iir.set_taps([0.2, 0.2, 1.0, -0.6])  # b=[0.2,0.2], a=[1,-0.6]
+    out = run_one(iir, xf.astype(np.float64), "float64")
+    assert np.all(np.isfinite(out)) and len(out) == len(xf)
+
+
 def test_sources_and_probe():
     src = BlockRegistry.make("/comms/waveform_source", "float32")
     src.set_waveform("SINE")
