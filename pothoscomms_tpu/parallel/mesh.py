@@ -126,6 +126,57 @@ def grid_sharded_fir(mesh: Mesh, taps, decim: int = 1):
     return lambda x, c: run(x, c, kernel)
 
 
+def time_sharded_resampler(mesh: Mesh, taps, M: int, L: int):
+    """Rational L/M polyphase resampler sharded over the time axis.
+
+    Each device holds [C, T/n, 2]; K-1 input halos travel to the right
+    neighbor via ppermute (overlap-save) and the polyphase phase
+    alignment holds because each local slice length is a multiple of M
+    (asserted). Output is [C, (T/n)*L/M, 2] per device, i.e. the global
+    resampled stream time-sharded on the same mesh axis. The stream
+    carry is the global input tail [C, K-1, 2] (fed to device 0).
+    """
+    from pothoscomms_tpu.ops.filter import _polyphase_matrix, polyphase_fir
+
+    taps = np.asarray(taps, np.complex128)
+    phases, K = _polyphase_matrix(taps, L)
+    taps_q = jnp.asarray(
+        np.stack([phases.real, phases.imag], -1).astype(np.float32))
+    n = mesh.devices.size
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "t"), P(), P()),
+        out_specs=(P(None, "t"), P()),
+    )
+    def run(x, carry, tq):
+        # x: local [C, Tl, 2]; carry: replicated [C, K-1, 2]
+        idx = jax.lax.axis_index("t")
+        tl = x.shape[1]
+        tail = x[:, tl - (K - 1):, :] if K > 1 else x[:, :0, :]
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        left_tail = jax.lax.ppermute(tail, "t", perm)
+        hist = jnp.where(idx == 0, carry, left_tail) if K > 1 else left_tail
+        xh = jnp.concatenate([hist, x], axis=1)      # [C, K-1+Tl, 2]
+        y = jax.vmap(
+            lambda s: polyphase_fir(s, tq, M, L, K, "planar", 0))(xh)
+        contrib = jnp.where(idx == n - 1, tail, jnp.zeros_like(tail))
+        last_tail = jax.lax.psum(contrib, "t")
+        return y, last_tail
+
+    def runner(x, carry):
+        tl = x.shape[1] // n
+        if tl % M:
+            raise ValueError(
+                f"local slice length {tl} must be a multiple of M={M} "
+                "for phase alignment across shards")
+        return run(x, carry, taps_q)
+
+    return runner
+
+
 def time_sharded_fir(mesh: Mesh, taps, decim: int = 1):
     """FIR sharded over the time axis with ppermute halo exchange.
 

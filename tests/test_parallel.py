@@ -174,6 +174,67 @@ def test_time_sharded_fir_halo_exchange():
     )
 
 
+@pytest.mark.parametrize("decim", [2, 4])
+def test_time_sharded_fir_decimated_halos(decim):
+    """Decimation across shard boundaries (SURVEY hard part #5): the
+    K-1 halo plus stride alignment must hold when each device's local
+    slice length is a multiple of the decimation."""
+    from pothoscomms_tpu.parallel.mesh import make_mesh, time_sharded_fir
+    from pothoscomms_tpu.parallel.chain import fir_multichannel
+
+    n = min(8, len(jax.devices()))
+    mesh = make_mesh(n, "t")
+    rng = np.random.default_rng(80 + decim)
+    C, K = 2, 9
+    T = 64 * n
+    taps = rng.normal(size=K) + 1j * rng.normal(size=K)
+    run = time_sharded_fir(mesh, taps, decim)
+    x = rng.normal(size=(C, T)) + 1j * rng.normal(size=(C, T))
+    carry = jnp.zeros((C, K - 1, 2), jnp.float32)
+    with mesh:
+        y, _ = run(jnp.asarray(cplx.to_planar(x)), carry)
+    kern = complex_fir_kernel(taps)
+    y_ref, _ = fir_multichannel(
+        jnp.asarray(cplx.to_planar(x)), carry, kern, decim
+    )
+    assert y.shape == y_ref.shape == (C, T // decim, 2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("ml", [(2, 3), (3, 2), (1, 4)])
+def test_time_sharded_resampler_halos(ml):
+    """Rational L/M resampling across time shards (BASELINE config #3
+    sharded): K-1 input halos + polyphase phase alignment."""
+    from pothoscomms_tpu.parallel.mesh import (make_mesh,
+                                               time_sharded_resampler)
+    from pothoscomms_tpu.ops.filter import _polyphase_matrix, polyphase_fir
+
+    M, L = ml
+    n = min(8, len(jax.devices()))
+    mesh = make_mesh(n, "t")
+    rng = np.random.default_rng(90 + M * 10 + L)
+    C, KT = 2, 12
+    T = 24 * n
+    taps = (rng.normal(size=KT) + 1j * rng.normal(size=KT)) / KT
+    run = time_sharded_resampler(mesh, taps, M, L)
+    x = rng.normal(size=(C, T)) + 1j * rng.normal(size=(C, T))
+    xp = jnp.asarray(cplx.to_planar(x))
+    phases, K = _polyphase_matrix(taps, L)
+    carry = jnp.zeros((C, K - 1, 2), jnp.float32)
+    with mesh:
+        y, tail = run(xp, carry)
+
+    # single-device reference: same polyphase kernel over the full stream
+    tq = jnp.asarray(np.stack([phases.real, phases.imag], -1).astype(
+        np.float32))
+    xh = jnp.concatenate([carry, xp], axis=1)
+    y_ref = jax.vmap(lambda s: polyphase_fir(s, tq, M, L, K, "planar", 0))(xh)
+    assert y.shape == y_ref.shape == (C, T * L // M, 2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+    np.testing.assert_allclose(
+        cplx.from_planar(np.asarray(tail)), x[:, -(K - 1):], atol=1e-5)
+
+
 def test_graft_entry_compiles():
     import __graft_entry__ as ge
 
