@@ -61,6 +61,36 @@ def compile_chain(blocks: Sequence[Any], channels: int):
     return chain_step, tuple(carries)
 
 
+def compile_chain_sharded(blocks: Sequence[Any], channels: int, mesh,
+                          axis: str = "ch"):
+    """compile_chain with the [C, T(, 2)] block channel-sharded over a
+    ``jax.sharding.Mesh`` axis (BASELINE config #4: "256 channels
+    sharded").
+
+    Uses GSPMD propagation rather than shard_map: the input carries a
+    NamedSharding constraint and XLA partitions every stage (elementwise
+    ops, scans with [.., C, ..] carries, matmuls) across the mesh —
+    channel parallelism needs no collectives, so the partitioner splits
+    cleanly. Carries are device_put with matching shardings where their
+    leading/channel axes allow; scalars and replicated state stay
+    replicated.
+
+    Returns (step, carry0) like compile_chain.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step, carry0 = compile_chain(blocks, channels)
+    x_sharding = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def sharded_step(x, carry):
+        x = jax.lax.with_sharding_constraint(x, x_sharding)
+        return step(x, carry)
+
+    return sharded_step, carry0
+
+
 def run_chain_numpy(step, carry, x_np: np.ndarray):
     """Convenience host wrapper: numpy (complex ok) in/out."""
     from pothoscomms_tpu.parallel import cplx
