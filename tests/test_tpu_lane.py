@@ -381,6 +381,109 @@ def test_dtype_catalog_fallback_in_chip_session():
     assert np.all(np.isfinite(out)) and len(out) == len(xf)
 
 
+def test_digital_symbol_stack_roundtrip():
+    """bits -> symbols -> bytes -> symbols -> bits identity plus
+    scrambler/descrambler and mapper->slicer round trips in a chip
+    session (host-fidelity paths of the digital layer)."""
+    rng = np.random.default_rng(30)
+    bits = rng.integers(0, 2, 960).astype(np.uint8)
+
+    b2s = BlockRegistry.make("/comms/bits_to_symbols")
+    b2s.set_modulus(4)
+    s2b = BlockRegistry.make("/comms/symbols_to_bits")
+    s2b.set_modulus(4)
+    feed = FeederSource("uint8")
+    feed.feed_buffer(bits)
+    sink = CollectorSink("uint8")
+    topo = Topology()
+    topo.connect(feed, 0, b2s, 0)
+    topo.connect(b2s, 0, s2b, 0)
+    topo.connect(s2b, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    np.testing.assert_array_equal(sink.get_buffer(), bits)
+
+    scr = BlockRegistry.make("/comms/scrambler")
+    scr.set_mode("multiplicative")
+    scr.set_poly(0x19)
+    desc = BlockRegistry.make("/comms/descrambler")
+    desc.set_mode("multiplicative")
+    desc.set_poly(0x19)
+    feed = FeederSource("uint8")
+    feed.feed_buffer(bits)
+    sink = CollectorSink("uint8")
+    topo = Topology()
+    topo.connect(feed, 0, scr, 0)
+    topo.connect(scr, 0, desc, 0)
+    topo.connect(desc, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    out = sink.get_buffer()
+    # multiplicative descrambler self-syncs after the LFSR degree
+    np.testing.assert_array_equal(out[8:], bits[8: len(out)])
+
+    qpsk = [1 + 1j, -1 + 1j, -1 - 1j, 1 - 1j]
+    mapper = BlockRegistry.make("/comms/symbol_mapper", "complex_float32")
+    mapper.set_map(qpsk)
+    slicer = BlockRegistry.make("/comms/symbol_slicer", "complex_float32")
+    slicer.set_map(qpsk)
+    syms = rng.integers(0, 4, 500).astype(np.uint8)
+    feed = FeederSource("uint8")
+    feed.feed_buffer(syms)
+    sink = CollectorSink("uint8")
+    topo = Topology()
+    topo.connect(feed, 0, mapper, 0)
+    topo.connect(mapper, 0, slicer, 0)
+    topo.connect(slicer, 0, sink, 0)
+    topo.commit()
+    assert topo.wait_inactive()
+    np.testing.assert_array_equal(sink.get_buffer(), syms)
+
+
+def test_mac_llc_loopback_in_chip_session():
+    """Two full MAC+LLC stacks back to back (reference
+    mac/TestSimpleLlc.cpp wiring) still deliver bit-exact packets in a
+    chip session."""
+    from pothoscomms_tpu.core.packet import Packet
+
+    rng = np.random.default_rng(31)
+    payloads = [rng.integers(0, 256, 64).astype(np.uint8)
+                for _ in range(8)]
+
+    llcA = BlockRegistry.make("/comms/simple_llc", 41)
+    llcA.set_recipient(0xB)
+    llcA.set_port(123)
+    llcB = BlockRegistry.make("/comms/simple_llc", 42)
+    llcB.set_recipient(0xA)
+    llcB.set_port(123)
+    macA = BlockRegistry.make("/comms/simple_mac")
+    macA.set_mac_id(0xA)
+    macB = BlockRegistry.make("/comms/simple_mac")
+    macB.set_mac_id(0xB)
+
+    feeder = FeederSource("uint8")
+    for p in payloads:
+        feeder.feed_packet(Packet(p.copy()))
+    sink = CollectorSink("uint8")
+    topo = Topology()
+    topo.connect(feeder, 0, llcA, "dataIn")
+    topo.connect(llcA, "macOut", macA, "macIn")
+    topo.connect(macA, "macOut", llcA, "macIn")
+    topo.connect(llcB, "dataOut", sink, 0)
+    topo.connect(llcB, "macOut", macB, "macIn")
+    topo.connect(macB, "macOut", llcB, "macIn")
+    topo.connect(macA, "phyOut", macB, "phyIn")
+    topo.connect(macB, "phyOut", macA, "phyIn")
+    topo.commit()
+    assert topo.wait_inactive(timeout=30.0)
+    assert macA.get_error_count() == 0
+    assert macB.get_error_count() == 0
+    got = sink.packets
+    assert len(got) == len(payloads)
+    for pkt, exp in zip(got, payloads):
+        np.testing.assert_array_equal(pkt.payload, exp)
+
+
 def test_sources_and_probe():
     src = BlockRegistry.make("/comms/waveform_source", "float32")
     src.set_waveform("SINE")
