@@ -24,8 +24,11 @@ MAX_WAVE_TABLE_SIZE = 1024 * 1024
 MINIMUM_TABLE_STEP_SIZE = 16
 
 # samples produced per work() call when quota allows (the analog of the
-# reference's output-buffer-manager slab size)
-_CHUNK = 4096
+# reference's output-buffer-manager slab size). 16 Ki: profiling the
+# streaming FIR topology shows per-work host->device conversion
+# dominating, so fewer/larger slabs lift every downstream block; steady-
+# state window shapes still stabilize to one jit trace per block.
+_CHUNK = 16384
 
 
 def _llround(x: float) -> int:
