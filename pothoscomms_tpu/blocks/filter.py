@@ -200,9 +200,12 @@ class FIRFilter(Block):
             return
 
         if (self._kind == "float" and self.dtype.is_complex
+                and self.dtype.bits == 32
                 and jax.default_backend() != "cpu"):
             # no complex HLOs on this backend: planar f32 device path
-            # (same policy as FFTBlock.work)
+            # (same policy as FFTBlock.work). complex_float64 stays at
+            # full fidelity on the host CPU backend (device.py policy,
+            # matching IIRFilter) instead of a lossy f32 downcast.
             xin = np.asarray(xh[: N + K - 1], np.complex64)
             xp = np.stack([xin.real, xin.imag], -1)
             y = fops.polyphase_fir(

@@ -490,6 +490,12 @@ def run_sync_automaton(state: dict, arrays, mag_thresh: int, dur_thresh: int,
             continue
         state["max_corr_peak"] = 0
         frame_offset = i - state["count_since_max"]
+        if frame_offset < 0:
+            # peak carried over from a previous work() call: the frame
+            # head is no longer in this buffer, so a decode would index
+            # from the array end and read garbage — skip it (shared
+            # guard for both callers: FrameSync and parallel/link.py)
+            continue
         result = try_decode(frame_offset, state)
         if result is not None:
             return i, frame_offset, result

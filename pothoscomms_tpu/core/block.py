@@ -39,15 +39,28 @@ def _np_concat(parts: List[np.ndarray]) -> np.ndarray:
     return np.concatenate(parts, axis=0)
 
 
-# Default per-edge queue bound, in elements. The reference bounds every
-# edge with a buffer manager (SURVEY.md §1 "Buffer managers"); here a full
-# input queue gates the upstream block's scheduling (see
-# Topology._run_once), so a fast producer ahead of a slow consumer holds
-# RSS flat instead of growing without limit. Must be far above any
-# block's reserve (max reserve in the catalog is a few thousand elements)
-# so consumers can always eventually fire.
-DEFAULT_EDGE_CAPACITY = 1 << 20
+# Default per-edge queue bound. The reference bounds every edge with a
+# buffer manager whose slabs are sized in BYTES (SURVEY.md §1 "Buffer
+# managers", fft/FFT.cpp:54-59); here a full input queue gates the
+# upstream block's scheduling (see Topology._run_once), so a fast
+# producer ahead of a slow consumer holds RSS flat instead of growing
+# without limit. The bound is expressed in bytes and converted to an
+# element capacity per port dtype — an element-count default would let a
+# complex128 edge hold 16x the memory of an int8 edge. The floor must
+# stay far above any block's reserve (max reserve in the catalog is a
+# few thousand elements) so consumers can always eventually fire.
+DEFAULT_EDGE_CAPACITY_BYTES = 4 << 20  # 4 MiB per edge
+MIN_EDGE_CAPACITY = 1 << 14            # elements, >> max catalog reserve
+DEFAULT_EDGE_CAPACITY = 1 << 20        # elements, for untyped ports
 DEFAULT_MSG_CAPACITY = 1 << 14
+
+
+def default_edge_capacity(dtype: Optional[DType]) -> int:
+    """Per-dtype element capacity for the byte-sized default bound."""
+    if dtype is None:
+        return DEFAULT_EDGE_CAPACITY
+    return max(DEFAULT_EDGE_CAPACITY_BYTES // max(dtype.itemsize, 1),
+               MIN_EDGE_CAPACITY)
 
 
 class InputPort:
@@ -60,7 +73,7 @@ class InputPort:
         self.labels: List[Label] = []
         self._messages: collections.deque = collections.deque()
         self.reserve = 0
-        self.capacity: Optional[int] = DEFAULT_EDGE_CAPACITY
+        self.capacity: Optional[int] = default_edge_capacity(self.dtype)
         self.msg_capacity: Optional[int] = DEFAULT_MSG_CAPACITY
         self.total_consumed = 0
         self.total_popped = 0  # monotonic: messages popped (progress)

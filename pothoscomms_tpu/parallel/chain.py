@@ -304,7 +304,11 @@ def fir_fft_chain(taps, nbins: int, channels: int, block: int,
     taps = np.asarray(taps)
     k = len(taps)
     hist0 = jnp.zeros((channels, k - 1, 2), jnp.float32)
-    prev_pad = 128
+    # prev_pad must not exceed nbins: the combined step slices the last
+    # prev_pad samples of each previous window (xw[:, :-1, nbins-prev_pad:]),
+    # so small-nbins chains get a correspondingly small pad when the taps
+    # still fit; longer taps fall through to the Toeplitz/conv paths.
+    prev_pad = min(128, nbins)
     if decim == 1 and 1 < k <= prev_pad + 1 and block % nbins == 0:
         (g0r, g0i), (g1r, g1i) = combined_fir_fft_operators(
             taps, nbins, prev_pad)

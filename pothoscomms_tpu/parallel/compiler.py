@@ -71,9 +71,10 @@ def compile_chain_sharded(blocks: Sequence[Any], channels: int, mesh,
     NamedSharding constraint and XLA partitions every stage (elementwise
     ops, scans with [.., C, ..] carries, matmuls) across the mesh —
     channel parallelism needs no collectives, so the partitioner splits
-    cleanly. Carries are device_put with matching shardings where their
-    leading/channel axes allow; scalars and replicated state stay
-    replicated.
+    cleanly. Carries are returned unchanged (host/default placement):
+    the partitioner lays them out from the input constraint on first
+    call, so channel-major carry leaves end up split and scalars
+    replicated without explicit device_puts.
 
     Returns (step, carry0) like compile_chain.
     """

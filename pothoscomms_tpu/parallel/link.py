@@ -169,8 +169,7 @@ def rx_decode(wave: np.ndarray, arrays, n_bits: int, *, poly: int = 0x19,
     est = {}  # estimates captured from the automaton state at detection
 
     def try_decode(frame_offset, st):
-        if frame_offset < 0:
-            return None
+        # frame_offset >= 0 guaranteed by run_sync_automaton's guard
         first_bit, fields = process_header_bits(
             wave[frame_offset:], st["delta_fc_max"], st["scale_at_max"],
             st["phase_off_max"], sw, symbol_width, data_width, fw, pre[-1])

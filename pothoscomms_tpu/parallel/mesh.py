@@ -43,7 +43,9 @@ def channel_sharded_fir_fft(mesh: Mesh, taps, nbins: int, decim: int = 1):
     replicated; rational rates use the conv path."""
     taps = np.asarray(taps)
     k = len(taps)
-    prev_pad = 128
+    # prev_pad <= nbins required by the combined step's previous-window
+    # slice (see fir_fft_chain); longer taps use the conv fallback
+    prev_pad = min(128, nbins)
 
     if decim == 1 and 1 < k <= prev_pad + 1:
         from pothoscomms_tpu.parallel.chain import (

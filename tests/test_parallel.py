@@ -112,6 +112,53 @@ def test_fused_chain_shapes_and_content():
     np.testing.assert_allclose(got, exp, atol=2e-3)
 
 
+def test_fused_chain_small_nbins_combined_path():
+    """nbins < 128 must still dispatch to the combined operator (adaptive
+    prev_pad) and match the convolution oracle (ADVICE r2 #1)."""
+    rng = np.random.default_rng(51)
+    C, T, K, NB = 2, 512, 33, 64
+    taps = (rng.normal(size=K) + 1j * rng.normal(size=K)) / K
+    run, hist0 = fir_fft_chain(taps, NB, C, T)
+    x = rng.normal(size=(C, T)) + 1j * rng.normal(size=(C, T))
+    spec, hist = run(jnp.asarray(cplx.to_planar(x)), hist0)
+    assert spec.shape == (C, T // NB, NB, 2)
+    y0 = np.convolve(x[0], taps, mode="full")[:T]
+    for w in range(T // NB):
+        exp = np.fft.fft(y0[w * NB: (w + 1) * NB])
+        got = cplx.from_planar(np.asarray(spec[0, w]))
+        np.testing.assert_allclose(got, exp, atol=2e-3)
+
+
+def test_fir_fft_circ_step_matches_combined():
+    """Circular-correction formulation parity vs the production combined
+    operator (kept-as-reference path must not rot — ADVICE r2 #3)."""
+    from pothoscomms_tpu.parallel.chain import (
+        circ_correction_operators, combined_fir_fft_operators,
+        fir_fft_circ_step, fir_fft_combined_step,
+    )
+
+    rng = np.random.default_rng(52)
+    C, T, K, NB = 2, 2048, 29, 512
+    taps = (rng.normal(size=K) + 1j * rng.normal(size=K)) / K
+    x = rng.normal(size=(C, T, 2)).astype(np.float32)
+    hist = rng.normal(size=(C, K - 1, 2)).astype(np.float32)
+
+    Hp, (gcr, gci) = circ_correction_operators(taps, NB)
+    gcs = gcr + gci
+    spec_c, hc = fir_fft_circ_step(
+        jnp.asarray(x), jnp.asarray(hist), Hp, gcr, gci, gcs, NB, K)
+
+    pp = min(128, NB)
+    (g0r, g0i), (g1r, g1i) = combined_fir_fft_operators(taps, NB, pp)
+    spec_d, hd = fir_fft_combined_step(
+        jnp.asarray(x), jnp.asarray(hist), g0r, g0i, g0r + g0i,
+        g1r, g1i, g1r + g1i, NB, K, pp)
+
+    np.testing.assert_allclose(np.asarray(spec_c), np.asarray(spec_d),
+                               atol=5e-2)
+    np.testing.assert_allclose(np.asarray(hc), np.asarray(hd), atol=0)
+
+
 def test_freq_demod_planar():
     rng = np.random.default_rng(6)
     C, T = 2, 128

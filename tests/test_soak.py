@@ -6,7 +6,7 @@ property of bounded buffer managers — SURVEY.md §1 "Buffer managers").
 import numpy as np
 
 from pothoscomms_tpu import BlockRegistry, Topology
-from pothoscomms_tpu.core.block import DEFAULT_EDGE_CAPACITY
+from pothoscomms_tpu.core.block import DEFAULT_EDGE_CAPACITY_BYTES
 from pothoscomms_tpu.core.fixtures import CollectorSink
 
 
@@ -56,6 +56,7 @@ def test_fm_chain_soak_bounded_queues():
 
     ports = [blk.input(0) for blk in (demod, dc, env, sink)]
     high_water = 0
+    high_water_bytes = 0
     total = 1 << 21
     chunk = 1 << 16
     fed = 0
@@ -65,12 +66,16 @@ def test_fm_chain_soak_bounded_queues():
         fed += chunk
         for p in ports:
             high_water = max(high_water, p.elements())
+            high_water_bytes = max(high_water_bytes,
+                                   p.elements() * p.dtype.itemsize)
             cap = p.capacity
             assert cap is None or p.elements() <= cap, (
                 f"queue over capacity: {p.elements()} > {cap}")
-    # queues drained at quiescence and never exceeded the bound,
-    # including the mid-stream samples taken inside the slow consumer
-    assert high_water <= DEFAULT_EDGE_CAPACITY
-    assert sink.high_water <= DEFAULT_EDGE_CAPACITY
+    # queues drained at quiescence and never exceeded the dtype-scaled
+    # BYTE bound (the reference's slab-sized buffer managers), including
+    # the mid-stream samples taken inside the slow consumer
+    assert high_water_bytes <= DEFAULT_EDGE_CAPACITY_BYTES
+    assert sink.high_water * sink.input(0).dtype.itemsize \
+        <= DEFAULT_EDGE_CAPACITY_BYTES
     assert sink.high_water > 0
     assert sink._checksum is not None
