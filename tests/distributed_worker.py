@@ -73,4 +73,66 @@ for shard in spec.addressable_shards:
     checked += got.size
 
 assert checked > 0
-print(f"WORKER{rank} OK checked={checked}", flush=True)
+
+# ---------------------------------------------------------------- #
+# Time-sharded FIR over the SAME global mesh re-axised as a "t"
+# ring: the K-1 overlap-save halos travel right via lax.ppermute,
+# and with 8 devices split across 2 processes the exchange at the
+# 3|4 boundary crosses the process boundary — the actual ICI/DCN
+# traffic of the north star (round-2 verdict missing #3).
+# ---------------------------------------------------------------- #
+from jax.sharding import Mesh  # noqa: E402
+
+from pothoscomms_tpu.parallel.chain import (  # noqa: E402
+    complex_fir_kernel,
+    fir_multichannel,
+)
+from pothoscomms_tpu.parallel.mesh import (  # noqa: E402
+    grid_sharded_fir,
+    time_sharded_fir,
+)
+
+carry_np = rng.normal(size=(C, K - 1, 2)).astype(np.float32)
+kern = complex_fir_kernel(taps)
+y_ref, tail_ref = fir_multichannel(jnp.asarray(x_np), jnp.asarray(carry_np),
+                                   kern)
+y_ref = np.asarray(y_ref)
+tail_ref = np.asarray(tail_ref)
+
+mesh_t = Mesh(np.asarray(jax.devices()), ("t",))
+run_t = time_sharded_fir(mesh_t, taps)
+sh_t = NamedSharding(mesh_t, P(None, "t"))
+sh_rep = NamedSharding(mesh_t, P())
+x_t = jax.make_array_from_callback(x_np.shape, sh_t, lambda idx: x_np[idx])
+c_t = jax.make_array_from_callback(carry_np.shape, sh_rep,
+                                   lambda idx: carry_np[idx])
+y_t, tail_t = run_t(x_t, c_t)
+checked_t = 0
+for shard in y_t.addressable_shards:
+    np.testing.assert_allclose(np.asarray(shard.data), y_ref[shard.index],
+                               atol=1e-4)
+    checked_t += np.asarray(shard.data).size
+assert checked_t > 0
+for shard in tail_t.addressable_shards:
+    np.testing.assert_allclose(np.asarray(shard.data),
+                               tail_ref[shard.index], atol=1e-4)
+
+# 2-D [ch, t] grid: channel split across processes, 4-device time
+# ring per channel group (halos again via ppermute)
+mesh_g = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("ch", "t"))
+run_g = grid_sharded_fir(mesh_g, taps)
+sh_g = NamedSharding(mesh_g, P("ch", "t"))
+sh_gc = NamedSharding(mesh_g, P("ch"))
+x_g = jax.make_array_from_callback(x_np.shape, sh_g, lambda idx: x_np[idx])
+c_g = jax.make_array_from_callback(carry_np.shape, sh_gc,
+                                   lambda idx: carry_np[idx])
+y_g, tail_g = run_g(x_g, c_g)
+checked_g = 0
+for shard in y_g.addressable_shards:
+    np.testing.assert_allclose(np.asarray(shard.data), y_ref[shard.index],
+                               atol=1e-4)
+    checked_g += np.asarray(shard.data).size
+assert checked_g > 0
+
+print(f"WORKER{rank} OK checked={checked} halo_t={checked_t} "
+      f"halo_grid={checked_g}", flush=True)

@@ -438,3 +438,51 @@ def test_freq_demod_int16_fxpt():
         exp.append(np.int16(_fxpt_atan2_scalar(int(diff.imag), int(diff.real))))
         prev = np.conj(v)
     assert_buffers_equal(np.array(exp, np.int16), out)
+
+
+def test_sync_search_tiled_matches_monolithic():
+    """The offset-tiled dechirped correlation (memory cap, round-2
+    verdict weak #4) vs the monolithic [n, sw] window-gather
+    formulation, across multiple tiles and the padded final tile: the
+    floored integer correlation peaks (what the acceptance automaton
+    consumes) must be EXACTLY equal; the phase may differ only by XLA
+    fusion noise (different cos/sin/mul fusion across program shapes)."""
+    import jax.numpy as jnp
+    import pothoscomms_tpu.ops.framing as fops
+    from pothoscomms_tpu.ops.framing import sync_search_planar
+    from pothoscomms_tpu.parallel import cplx
+
+    rng = np.random.default_rng(77)
+    npre, w, dw = 2, 40, 4
+    sw = npre * w
+    # small tile so a modest n crosses several tiles + a ragged tail
+    old_tile = fops._CORR_TILE
+    fops._CORR_TILE = 512
+    try:
+        n = 1700  # 3 full tiles + ragged remainder
+        L = n + sw + 64
+        x = (rng.normal(size=L) + 1j * rng.normal(size=L)).astype(
+            np.complex64)
+        pre = np.exp(1j * rng.uniform(0, 2 * np.pi, npre)).astype(
+            np.complex64)
+        xp = jnp.asarray(cplx.to_planar(x))
+        pp = jnp.asarray(cplx.to_planar(pre))
+        s, d, p, c = sync_search_planar(xp, pp, 0.1, sw, w, dw, npre, n)
+
+        # monolithic reference: same arithmetic, single window gather
+        i = jnp.arange(n)
+        j = jnp.arange(sw)
+        conj_p = cplx.conj(jnp.repeat(pp, w, axis=0))
+        frames = xp[i[:, None] + j[None, :]]
+        ang = jnp.asarray(d)[:, None] * j[None, :]
+        rot = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+        prod = cplx.mul(cplx.mul(frames, rot), conj_p[None, :, :])
+        Lm = jnp.sum(prod, axis=1) * jnp.asarray(s)[:, None]
+        p_ref = -jnp.arctan2(Lm[..., 1], Lm[..., 0])
+        c_ref = jnp.where(jnp.asarray(s) != 0,
+                          jnp.floor(cplx.cabs(Lm)), 0.0)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+    finally:
+        fops._CORR_TILE = old_tile
