@@ -83,3 +83,20 @@ class FreqDemod(Block):
             return last, y
 
         return carry0, step
+
+    # -- auto-fusion protocol (core/fusion.py): streaming keeps
+    # conj(previous sample); the fused carry is the sample itself.
+    def fuse_ready(self) -> bool:
+        return self.dtype.is_float and self.dtype.bits == 32
+
+    def fuse_export(self, channels: int):
+        _, step = self.device_core(channels)
+        last = np.conj(self._prev)
+        carry = jnp.asarray(
+            np.array([[[last.real, last.imag]]], np.float32))
+        return carry, step
+
+    def fuse_import(self, carry) -> None:
+        c = np.asarray(carry)[0, 0]
+        self._prev = np.conj(
+            np.asarray(c[0] + 1j * c[1], self.dtype.np))

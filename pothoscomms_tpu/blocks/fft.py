@@ -122,3 +122,50 @@ class FFTBlock(Block):
             return carry, spec.reshape(c, t // nb, nb, 2)
 
         return (), step
+
+    # -- auto-fusion protocol (core/fusion.py) -------------------------- #
+    fuse_kind = "fft"  # frames out: terminates a fused run
+
+    def fuse_retained(self):
+        return None  # any sub-frame leftover is absorbed into the carry
+
+    def fuse_ready(self) -> bool:
+        # the queued sub-frame leftover becomes the carry; a full frame
+        # still queued (e.g. congestion skipped work()) must drain first
+        return (self.dtype.is_float and self.dtype.bits == 32
+                and self.input(0).elements() < self.num_bins)
+
+    def fuse_export(self, channels: int):
+        """Streaming state = the sub-frame leftover queued on the input
+        port (work() only consumes whole numBins windows); it becomes a
+        [C, r, 2] carry so fused quanta stay frame-phase-accurate."""
+        from pothoscomms_tpu.parallel.fft import fft_planar
+
+        port = self.input(0)
+        r = port.elements()
+        nb, inverse = self.num_bins, self.inverse
+        assert r < nb
+        if r == 0:
+            return self.device_core(channels)
+        parts = port.take(r)
+        arr = np.concatenate([np.asarray(p) for p in parts])
+        left = jnp.asarray(np.stack(
+            [arr.real, arr.imag], -1).astype(np.float32))[None]
+
+        def step(carry, x):
+            ext = jnp.concatenate([carry, x], axis=1)  # [C, r+T, 2]
+            m = ext.shape[1] // nb
+            frames = ext[:, : m * nb].reshape(-1, nb, 2)
+            spec = fft_planar(frames, nb, inverse)
+            return ext[:, m * nb:], spec.reshape(x.shape[0], m, nb, 2)
+
+        return left, step
+
+    def fuse_import(self, carry) -> None:
+        if carry is None or (isinstance(carry, tuple) and not carry):
+            return
+        c = np.asarray(carry)[0]
+        if c.shape[0] == 0:
+            return
+        arr = (c[..., 0] + 1j * c[..., 1]).astype(self.dtype.np)
+        self.input(0).push_front_buffer(arr)

@@ -117,6 +117,7 @@ class FIRFilter(Block):
         return self._frame_end_id
 
     def _update_internals(self):
+        self._bump_fuse_epoch()
         # polyphase split + Q-format conversion (reference :327-354)
         self._taps_q, self._K = fops.fir_tap_state(
             self._taps, self._L, self.dtype, self._complex_taps
@@ -285,6 +286,47 @@ class FIRFilter(Block):
 
         return carry0, step
 
+    # -- auto-fusion protocol (core/fusion.py) -------------------------- #
+    fuse_kind = "fir"
+
+    def fuse_retained(self) -> int:
+        return self._K - 1
+
+    def fuse_ready(self) -> bool:
+        return (not self._wait_armed and self._M == 1 and self._L == 1
+                and len(self._taps) <= 128
+                and self._eob_samps_left == 0
+                and self.dtype.is_float and self.dtype.bits == 32
+                and self.input(0).elements() >= self._K - 1)
+
+    def fuse_export(self, channels: int):
+        """Streaming state -> device carry: the K-1 history samples are
+        the first K-1 queued elements (reference FIRFilter.cpp:305 keeps
+        them unconsumed); consume them into the fused carry."""
+        carry0, step = self.device_core(channels)
+        k1 = self._K - 1
+        if k1 == 0:
+            return carry0, step
+        parts = self.input(0).take(k1)
+        hist = np.concatenate([np.asarray(p) for p in parts])
+        if self.dtype.is_complex:
+            carry = jnp.asarray(np.stack(
+                [hist.real, hist.imag], -1).astype(np.float32))[None]
+        else:
+            carry = jnp.asarray(hist.astype(np.float32))[None]
+        return carry, step
+
+    def fuse_import(self, carry) -> None:
+        k1 = self._K - 1
+        if k1 == 0:
+            return
+        h = np.asarray(carry)[0]
+        if self.dtype.is_complex:
+            arr = (h[..., 0] + 1j * h[..., 1]).astype(self.dtype.np)
+        else:
+            arr = h.astype(self.dtype.np)
+        self.input(0).push_front_buffer(arr)
+
 
 # ---------------------------------------------------------------------- #
 # /comms/iir_filter (reference: filter/IIRFilter.cpp)
@@ -313,6 +355,7 @@ class IIRFilter(Block):
         if self._a.size == 0 or self._a[0] == 0:
             raise ValueError("feedback taps must start with a nonzero a0")
         self._wait_armed = False
+        self._bump_fuse_epoch()
         self.reset()
 
     def get_taps(self):
@@ -405,6 +448,30 @@ class IIRFilter(Block):
 
         return carry0, step
 
+    # -- auto-fusion protocol (core/fusion.py): the streaming path keeps
+    # the DF-II-transposed state in f64 (spuce parity); the fused core
+    # carries the same layout in f32 — lossless inverse at f32 dtypes.
+    def fuse_ready(self) -> bool:
+        return (not self._wait_armed
+                and self.dtype.is_float and self.dtype.bits == 32)
+
+    def fuse_export(self, channels: int):
+        carry0, step = self.device_core(channels)
+        z = self._state
+        if self.dtype.is_complex:
+            carry = jnp.asarray(np.stack(
+                [z.real, z.imag], -1).astype(np.float32))[:, None, :]
+        else:
+            carry = jnp.asarray(z.real.astype(np.float32))[:, None]
+        return carry, step
+
+    def fuse_import(self, carry) -> None:
+        c = np.asarray(carry)
+        if self.dtype.is_complex:
+            self._state = (c[:, 0, 0] + 1j * c[:, 0, 1]).astype(np.complex128)
+        else:
+            self._state = c[:, 0].astype(np.float64)
+
 
 # ---------------------------------------------------------------------- #
 # /comms/dc_removal (reference: filter/DCRemoval.cpp + MovingAverage.hpp)
@@ -443,6 +510,7 @@ class DCRemoval(Block):
         return self._cascade_size
 
     def _reset(self):
+        self._bump_fuse_epoch()
         d, c = self._average_size, self._cascade_size
         shape = (c, d, 2) if self.dtype.is_complex_int else (c, d)
         base = self._acc_np if not (self.dtype.is_complex and self.dtype.is_float) \
@@ -510,6 +578,28 @@ class DCRemoval(Block):
 
         return carry0, step
 
+    # -- auto-fusion protocol (core/fusion.py) -------------------------- #
+    def fuse_ready(self) -> bool:
+        return self.dtype.is_float and self.dtype.bits == 32
+
+    def fuse_export(self, channels: int):
+        carry0, step = self.device_core(channels)
+        h = self._hists  # [casc, d] complex64 or float32
+        if self.dtype.is_complex:
+            carry = jnp.asarray(np.stack(
+                [h.real, h.imag], -1).astype(np.float32))[:, None]
+        else:
+            carry = jnp.asarray(h.astype(np.float32))[:, None]
+        return carry, step
+
+    def fuse_import(self, carry) -> None:
+        c = np.asarray(carry)
+        if self.dtype.is_complex:
+            self._hists = (c[:, 0, :, 0]
+                           + 1j * c[:, 0, :, 1]).astype(self.dtype.np)
+        else:
+            self._hists = c[:, 0].astype(self._hists.dtype)
+
 
 # ---------------------------------------------------------------------- #
 # /comms/envelope_detector (reference: filter/EnvelopeDetector.cpp)
@@ -533,6 +623,7 @@ class EnvelopeDetector(Block):
     def set_attack(self, attack: float):
         self._attack = float(attack)
         self._attack_gain = float(np.exp(-1.0 / attack))
+        self._bump_fuse_epoch()
 
     def get_attack(self) -> float:
         return self._attack
@@ -540,12 +631,14 @@ class EnvelopeDetector(Block):
     def set_release(self, release: float):
         self._release = float(release)
         self._release_gain = float(np.exp(-1.0 / release))
+        self._bump_fuse_epoch()
 
     def get_release(self) -> float:
         return self._release
 
     def set_lookahead(self, lookahead: int):
         self._lookahead = int(lookahead)
+        self._bump_fuse_epoch()
 
     def get_lookahead(self) -> int:
         return self._lookahead
@@ -605,6 +698,19 @@ class EnvelopeDetector(Block):
             return env_f, jnp.moveaxis(yt, 0, 1)
 
         return carry0, step
+
+    # -- auto-fusion protocol (core/fusion.py) -------------------------- #
+    def fuse_ready(self) -> bool:
+        return (self._lookahead == 0
+                and self.dtype.is_float and self.dtype.bits == 32)
+
+    def fuse_export(self, channels: int):
+        _, step = self.device_core(channels)
+        carry = jnp.full((channels,), np.float32(self._envelope))
+        return carry, step
+
+    def fuse_import(self, carry) -> None:
+        self._envelope = float(np.asarray(carry)[0])
 
 
 # ---------------------------------------------------------------------- #

@@ -230,6 +230,7 @@ class Scale(Block):
         self._factor = float(factor)
         # ScaleType is the real scalar Q type even for complex data
         self._factor_scaled = float_to_q(self._factor, self._qdtype.scalar)
+        self._bump_fuse_epoch()
 
     def get_factor(self) -> float:
         return self._factor
@@ -274,6 +275,17 @@ class Scale(Block):
             return carry, x * factor
 
         return (), step
+
+    # -- auto-fusion protocol (core/fusion.py): stateless; label-driven
+    # factor updates arrive as labels, which disengage the segment.
+    def fuse_ready(self) -> bool:
+        return self.dtype.is_float and self.dtype.bits == 32
+
+    def fuse_export(self, channels: int):
+        return self.device_core(channels)
+
+    def fuse_import(self, carry) -> None:
+        pass
 
 
 # --------------------------------------------------------------------- #

@@ -75,11 +75,15 @@ class SignalProbe(Block):
 
     def work(self):
         port = self.input(0)
-        n = min(self._window, port.elements())
-        if n == 0:
+        avail = port.elements()
+        if avail == 0:
             return
-        buf = np.asarray(port.buffer(port.elements()))[:n]
-        port.consume(n)
+        n = min(self._window, avail)
+        # drain everything (reference consumes the whole buffer per
+        # work, SignalProbe.cpp:123-163); probe over the last <=window.
+        # take() keeps device-resident chunks un-materialized so a fused
+        # upstream segment's throughput isn't gated by a host D2H.
+        parts = port.take(avail)
 
         now = time.monotonic()
         if self._rate != 0.0 and now < self._next_calc:
@@ -87,14 +91,53 @@ class SignalProbe(Block):
         if self._rate != 0.0:
             self._next_calc += 1.0 / self._rate
 
-        x = self._to_probe(buf)
-        if self._mode == "VALUE":
-            self._value = x[n - 1]
-        elif self._mode == "RMS":
-            self._value = float(np.sqrt(np.mean(np.abs(x) ** 2)))
-        elif self._mode == "MEAN":
-            self._value = x.mean()
+        # gather the LAST n elements from the tail of the parts list
+        tail = []
+        need = n
+        for p in reversed(parts):
+            ln = int(p.shape[0])
+            t = min(ln, need)
+            tail.insert(0, p[ln - t:])
+            need -= t
+            if need == 0:
+                break
+        from pothoscomms_tpu.core.fusion import DeviceChunk
+
+        if any(isinstance(p, DeviceChunk) for p in tail):
+            self._value = self._probe_device(tail, n)
+        else:
+            x = self._to_probe(np.concatenate(
+                [np.asarray(p) for p in tail]) if len(tail) > 1
+                else np.asarray(tail[0]))
+            if self._mode == "VALUE":
+                self._value = x[n - 1]
+            elif self._mode == "RMS":
+                self._value = float(np.sqrt(np.mean(np.abs(x) ** 2)))
+            elif self._mode == "MEAN":
+                self._value = x.mean()
         self.emit_signal("valueChanged", self._value)
+
+    def _probe_device(self, tail, n: int):
+        """Device-side reduction over planar chunks: only the probe
+        scalar crosses to the host."""
+        import jax.numpy as jnp
+        from pothoscomms_tpu.core.fusion import to_planar_jax
+
+        planars = [to_planar_jax(p, self.dtype) for p in tail]
+        x = planars[0] if len(planars) == 1 else jnp.concatenate(
+            planars, axis=0)
+        if self._mode == "VALUE":
+            last = np.asarray(x[n - 1])
+            return (complex(last[0], last[1]) if self.dtype.is_complex
+                    else float(last))
+        if self._mode == "RMS":
+            sq = jnp.sum(x * x, axis=-1) if self.dtype.is_complex else x * x
+            return float(jnp.sqrt(jnp.mean(sq)))
+        if self._mode == "MEAN":
+            m = np.asarray(jnp.mean(x, axis=0))
+            return (complex(m[0], m[1]) if self.dtype.is_complex
+                    else float(m))
+        return self._value
 
 
 # ---------------------------------------------------------------------- #

@@ -36,6 +36,9 @@ from pothoscomms_tpu.core.packet import Packet
 def _np_concat(parts: List[np.ndarray]) -> np.ndarray:
     if len(parts) == 1:
         return parts[0]
+    # np.concatenate materializes DeviceChunks via __array__ — correct,
+    # host-side. Device-resident consumers (fused segments) avoid this
+    # by draining parts with InputPort.take() instead of buffer().
     return np.concatenate(parts, axis=0)
 
 
@@ -104,6 +107,9 @@ class InputPort:
         buf = self.buffer()
         self._parts = [buf[n:]] if n < self._elements else []
         self._elements -= n
+        self._account_consume(n)
+
+    def _account_consume(self, n: int) -> None:
         self.total_consumed += n
         self._consumed_this_work += n
         # split labels: consumed ones go to propagation, rest re-base
@@ -113,6 +119,62 @@ class InputPort:
         self.labels = [lb.shifted(-n) for lb in kept]
         if consumed:
             self.block._propagate(self, consumed)
+
+    def take(self, n: int) -> List:
+        """Consume and return the first ``n`` elements as the list of
+        queued parts covering them, WITHOUT concatenating — so
+        device-resident parts (core/fusion.DeviceChunk) are never
+        materialized to host. Used by the fused-segment executor."""
+        assert n <= self._elements, f"take({n}) > available {self._elements}"
+        out: List = []
+        need = n
+        while need:
+            p = self._parts[0]
+            ln = int(p.shape[0])
+            if ln <= need:
+                out.append(self._parts.pop(0))
+                need -= ln
+            else:
+                out.append(p[:need])
+                self._parts[0] = p[need:]
+                need = 0
+        self._elements -= n
+        self._account_consume(n)
+        return out
+
+    def split_tail(self, keep: int) -> List:
+        """Remove and return the queued parts BEYOND the first ``keep``
+        elements (no counter changes — an internal re-queue used by the
+        fused segment to bound a streaming pass to a labeled region).
+        All labels must lie within ``keep``."""
+        assert keep <= self._elements
+        assert all(lb.index < keep for lb in self.labels)
+        out: List = []
+        excess = self._elements - keep
+        while excess:
+            p = self._parts[-1]
+            ln = int(p.shape[0])
+            if ln <= excess:
+                out.insert(0, self._parts.pop())
+                excess -= ln
+            else:
+                self._parts[-1] = p[: ln - excess]
+                out.insert(0, p[ln - excess:])
+                excess = 0
+        self._elements = keep
+        return out
+
+    def push_front_buffer(self, arr) -> None:
+        """Re-queue elements at the FRONT of the queue (state restore on
+        fused-segment disengage: a block's retained history re-enters
+        its port ahead of unprocessed data). Labels shift accordingly;
+        consumption counters are not rewound."""
+        n = int(arr.shape[0])
+        if n == 0:
+            return
+        self._parts.insert(0, arr)
+        self._elements += n
+        self.labels = [lb.shifted(n) for lb in self.labels]
 
     def remove_label(self, label: Label) -> None:
         self.labels.remove(label)
@@ -148,8 +210,10 @@ class InputPort:
         self._messages.append(msg)
 
     # -- feeding (called by upstream/executor) --------------------------- #
-    def push_buffer(self, arr: np.ndarray, labels: Optional[List[Label]] = None):
-        arr = np.asarray(arr)
+    def push_buffer(self, arr, labels: Optional[List[Label]] = None):
+        if type(arr).__name__ != "DeviceChunk" and not isinstance(
+                arr, np.ndarray):
+            arr = np.asarray(arr)
         if labels:
             off = self._elements
             self.labels.extend(lb.shifted(off) for lb in labels)
@@ -176,9 +240,13 @@ class OutputPort:
         port.upstream = self
 
     # -- posting -------------------------------------------------------- #
-    def post(self, arr: np.ndarray, labels: Optional[List[Label]] = None) -> None:
-        """Produce ``arr`` with labels indexed relative to arr start."""
-        arr = np.asarray(arr)
+    def post(self, arr, labels: Optional[List[Label]] = None) -> None:
+        """Produce ``arr`` with labels indexed relative to arr start.
+        ``arr`` may be a core/fusion.DeviceChunk — device-resident data
+        flows downstream without a host round-trip."""
+        if type(arr).__name__ != "DeviceChunk" and not isinstance(
+                arr, np.ndarray):
+            arr = np.asarray(arr)
         n = int(arr.shape[0])
         for port in self.downstream:
             port.push_buffer(arr, labels)
@@ -244,6 +312,12 @@ class Block:
         # sources); the executor meters these via a production quota.
         self.unbounded_source = False
         self._source_quota = 0
+        # bumped by setters that change fused-core behavior; the fused
+        # segment compares epochs each quantum and rebuilds on change
+        self._fuse_epoch = 0
+
+    def _bump_fuse_epoch(self) -> None:
+        self._fuse_epoch += 1
 
     # -- port setup (reference: setupInput/setupOutput) ------------------ #
     def setup_input(self, name, dtype=None) -> InputPort:

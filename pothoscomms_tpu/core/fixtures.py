@@ -33,7 +33,8 @@ class FeederSource(Block):
         self._queue: collections.deque = collections.deque()
 
     def feed_buffer(self, arr, labels: Optional[List[Label]] = None):
-        arr = np.ascontiguousarray(arr)
+        if type(arr).__name__ != "DeviceChunk":  # device data stays put
+            arr = np.ascontiguousarray(arr)
         self._queue.append(("buffer", arr, labels or []))
 
     def feed_label(self, label: Label):

@@ -1,0 +1,479 @@
+"""Automatic device-core fusion for the streaming executor.
+
+The reference framework's scheduler IS the delivery vehicle for block
+performance: every topology gets the SIMD hot loops without opting in
+(SURVEY.md §1 L0; math/Arithmetic.cpp:204-231 runs inside the
+framework). The TPU-native equivalent: at ``Topology.commit()`` the
+executor detects maximal linear runs of blocks that expose a fused
+device core, and — once sustained load appears on the run's head edge —
+executes the whole run as ONE jitted XLA program per work quantum,
+with stream data staying device-resident between quanta.
+
+Design:
+
+- **Fusion is a turbo, not a mode.** Blocks stream normally (host
+  numpy, full label/packet semantics) until the head queue crosses
+  ``Topology.fuse_threshold`` elements; the segment then *engages*:
+  each member exports its streaming state into its device-core carry
+  (``fuse_export``) and the composed chain runs jitted. Any label or
+  message arriving at the head, any member reconfiguration
+  (``_fuse_epoch`` bump), or the stream draining *disengages* the
+  segment: carries are imported back into streaming state
+  (``fuse_import``) and the members resume the exact reference
+  semantics. Export/import are lossless inverses, so engage/disengage
+  can alternate freely mid-stream.
+- **Peephole**: an adjacent FIR -> forward-FFT pair compiles to the
+  combined FIR*DFT operator (parallel/chain.py) — the fastest
+  formulation measured on this chip — instead of two separate cores.
+- **Device-resident edges**: a segment posts its output as a
+  :class:`DeviceChunk` — a planar-f32 device array wrapped with the
+  port dtype. Downstream fused segments consume it without a host
+  round-trip; legacy blocks materialize it transparently via
+  ``__array__``.
+
+Block protocol (implemented by fusable blocks):
+
+- ``fuse_ready() -> bool`` — non-consuming eligibility check (dtype is
+  32-bit float, config supported, retained state present).
+- ``fuse_export(channels) -> (carry, step)`` — build the device core
+  and its carry from CURRENT streaming state, consuming any port-held
+  state (e.g. the FIR's K-1 queued history samples).
+- ``fuse_import(carry) -> None`` — restore streaming state from the
+  carry (inverse of export).
+- ``fuse_kind`` — optional class tag ("fir", "fft") for the peephole.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from pothoscomms_tpu.core.dtypes import DType
+
+# Engage only pays off under sustained load; pulls below this floor are
+# left for the streaming path (end-of-stream drain disengages).
+MIN_PULL = 4096
+# Elements per fused step cap: bounds device working-set and compile
+# count (pull sizes are granule-aligned powers of two up to this).
+# Sized large because each device call carries ~7 ms of fixed relay
+# overhead on this chip (benches/probe_topo_shape.py): small quanta
+# are overhead-bound regardless of kernel quality.
+MAX_QUANTUM = 1 << 25
+# Row length the FIR(+FFT) pair reshapes big pulls into: a [R, ROW]
+# batch matches the bench-proven [256, 131072] program shape instead
+# of one enormous single-row call (FIR history stitches across rows).
+PAIR_ROW = 1 << 17
+
+
+class DeviceChunk:
+    """A device-resident slice of stream data flowing between blocks.
+
+    ``planar`` is a jax array: [n, 2] float32 for complex streams
+    (re/im planes), [n] float32 for real streams. Legacy host blocks
+    receive the dtype-faithful numpy view via ``__array__``; fused
+    segments consume ``planar`` directly with zero copies.
+    """
+
+    __slots__ = ("planar", "dtype")
+
+    def __init__(self, planar, dtype: DType):
+        self.planar = planar
+        self.dtype = DType.parse(dtype)
+
+    @property
+    def shape(self):
+        return (int(self.planar.shape[0]),) + self.dtype.storage_shape_suffix
+
+    def __len__(self):
+        return int(self.planar.shape[0])
+
+    def __getitem__(self, sl):
+        return DeviceChunk(self.planar[sl], self.dtype)
+
+    def __array__(self, dtype=None, copy=None):
+        p = np.asarray(self.planar)
+        if self.dtype.is_complex:
+            out = (p[..., 0] + 1j * p[..., 1]).astype(self.dtype.np)
+        else:
+            out = p.astype(self.dtype.np)
+        if dtype is not None:
+            out = out.astype(dtype)
+        return out
+
+
+def to_planar_jax(part, dtype: DType):
+    """Any queued part (numpy or DeviceChunk) -> planar f32 jax array."""
+    import jax.numpy as jnp
+
+    if isinstance(part, DeviceChunk):
+        return part.planar
+    arr = np.asarray(part)
+    if dtype.is_complex:
+        return jnp.asarray(
+            np.stack([arr.real, arr.imag], -1).astype(np.float32))
+    return jnp.asarray(arr.astype(np.float32))
+
+
+def _is_fusable(blk) -> bool:
+    return (hasattr(blk, "fuse_export") and hasattr(blk, "fuse_ready")
+            and len(blk.inputs) == 1 and len(blk.outputs) == 1)
+
+
+def detect_segments(blocks, topology) -> List["FusedSegment"]:
+    """Maximal linear runs (length >= 2) of fusable blocks where each
+    interior edge is exactly one output port feeding exactly one input
+    port. A frames-out block (FFT) terminates its run."""
+    used = set()
+    segments = []
+    # blocks that are fusion-run interiors must not be fan-in targets
+    feeders = {}
+    for blk in blocks:
+        for out in blk.outputs.values():
+            for port in out.downstream:
+                feeders[id(port)] = feeders.get(id(port), 0) + 1
+    for blk in blocks:
+        if id(blk) in used or not _is_fusable(blk):
+            continue
+        run = [blk]
+        cur = blk
+        while getattr(cur, "fuse_kind", None) != "fft":
+            outs = list(cur.outputs.values())
+            ds = outs[0].downstream
+            if len(ds) != 1:
+                break
+            nxt = ds[0].block
+            if (not _is_fusable(nxt) or id(nxt) in used or nxt is blk
+                    or feeders.get(id(nxt.input(0)), 0) != 1):
+                break
+            run.append(nxt)
+            used.add(id(nxt))
+            cur = nxt
+        if len(run) >= 2:
+            used.update(id(b) for b in run)
+            seg = FusedSegment(run, topology)
+            # stashing assumes nothing posts into the head port later
+            # in the round than the head's own schedule slot (true for
+            # forward-only graphs; feedback edges disable it)
+            order = {id(b): i for i, b in enumerate(blocks)}
+            head_idx = order[id(run[0])]
+            seg.stash_safe = all(
+                order.get(id(b2), head_idx) < head_idx
+                for b2 in blocks
+                for out in b2.outputs.values()
+                for port in out.downstream
+                if port is seg.head
+            )
+            segments.append(seg)
+    return segments
+
+
+def _chain_step(cores):
+    """Compose per-core steps into one jitted program. Each core has
+    signature ``core(carry, x, *params) -> (carry', y)``; params are
+    passed as jit ARGUMENTS (large operator matrices as closure
+    constants choke the remote TPU compiler — parallel/chain.py)."""
+    import jax
+
+    @jax.jit
+    def step(x, carries, params):
+        new = []
+        for core, c, p in zip(cores, carries, params):
+            c2, x = core(c, x, *p)
+            new.append(c2)
+        return x, tuple(new)
+
+    return step
+
+
+def _carry_sig(carries):
+    leaves = []
+
+    def walk(c):
+        if isinstance(c, (tuple, list)):
+            for e in c:
+                walk(e)
+        elif c is None:
+            leaves.append(None)
+        else:
+            leaves.append(tuple(getattr(c, "shape", ())))
+
+    walk(carries)
+    return tuple(leaves)
+
+
+class FusedSegment:
+    """A linear run of fusable blocks executed as one jitted program
+    while engaged (see module docstring)."""
+
+    def __init__(self, blocks, topology):
+        self.blocks = blocks
+        self.topology = topology
+        self.head = blocks[0].input(0)
+        self.tail_out = blocks[-1].output(0)
+        self.head_dtype = self.head.dtype
+        self.tail_dtype = self.tail_out.dtype
+        self.engaged = False
+        self.step = None
+        self.carries = None
+        self.params = None
+        self._imports = None  # aligned with carries: fn(carry) restores
+        self._epochs = None
+        # pull granule is static: num_bins is fixed at FFT construction
+        self.granule = max(
+            [b.num_bins for b in blocks
+             if getattr(b, "fuse_kind", None) == "fft"] + [1])
+        # compiled-step cache across engage cycles: jit instances keyed
+        # by (member epochs, carry shapes) so a disengage/re-engage
+        # (labels, drain) reuses XLA's compile cache instead of paying
+        # a fresh trace+compile per pull shape every time
+        self._step_cache: dict = {}
+        # post-label backlog withheld from the streaming drain for the
+        # remainder of the current round (returned by the topology at
+        # round end so the next round re-engages on it)
+        self.stash: Optional[list] = None
+        # True when every block feeding the head port is scheduled
+        # before this segment's head in the round order — the
+        # precondition for the stash being newest data in the port
+        # (set by detect_segments)
+        self.stash_safe = False
+        # observability
+        self.engage_count = 0
+        self.fused_elements = 0
+
+    # ------------------------------------------------------------------ #
+    def _epoch_sig(self):
+        return tuple(b._fuse_epoch for b in self.blocks)
+
+    def _interior_clean(self) -> bool:
+        for b in self.blocks[1:]:
+            p = b.input(0)
+            if p.labels or p._messages:
+                return False
+        return True
+
+    def _head_label_limit(self) -> Optional[int]:
+        """Index of the first label queued at the head (None if none).
+        The fused path may process UP TO a label; the labeled region
+        itself runs streaming (sample-accurate label semantics, e.g.
+        Scale's factor-by-label, math/Scale.cpp:104-122)."""
+        if not self.head.labels:
+            return None
+        return min(lb.index for lb in self.head.labels)
+
+    def _head_retained(self) -> int:
+        b = self.blocks[0]
+        ret = b.fuse_retained() if hasattr(b, "fuse_retained") else 0
+        return ret or 0
+
+    def try_engage(self) -> bool:
+        if self.engaged or self.head._messages or not self._interior_clean():
+            return False
+        # engaging must yield at least one label-free pull quantum AFTER
+        # the head block's retained state is exported off the queue —
+        # otherwise the segment would engage, pull nothing, and
+        # disengage every round while starving the members
+        head_ret = self._head_retained()
+        avail = self.head.elements() - head_ret
+        limit = self._head_label_limit()
+        if limit is not None:
+            avail = min(avail, limit - head_ret)
+        if avail < max(self.granule, MIN_PULL):
+            return False
+        if not all(b.fuse_ready() for b in self.blocks):
+            return False
+        # Interior ports must hold EXACTLY their block's steady-state
+        # retention (FIR: K-1 history; FFT: any sub-frame leftover,
+        # absorbed by export; others: nothing). Residual unprocessed
+        # backlog there would be bypassed by the fused path and replay
+        # out of order on disengage — stream until it drains instead.
+        for b in self.blocks[1:]:
+            retained = (b.fuse_retained()
+                        if hasattr(b, "fuse_retained") else 0)
+            if retained is not None and b.input(0).elements() != retained:
+                return False
+        # plan the unit list (pair peephole) WITHOUT side effects, then
+        # export carries; the compiled step + device params are cached
+        # by (epochs, carry shapes) so a re-engage neither re-traces nor
+        # re-uploads the pair's operator matrices
+        units: List = []  # ("pair", fir, fft) | ("single", b)
+        i = 0
+        while i < len(self.blocks):
+            b = self.blocks[i]
+            nxt = self.blocks[i + 1] if i + 1 < len(self.blocks) else None
+            if (nxt is not None and getattr(b, "fuse_kind", None) == "fir"
+                    and getattr(nxt, "fuse_kind", None) == "fft"
+                    and self._pair_eligible(b, nxt)):
+                units.append(("pair", b, nxt))
+                i += 2
+            else:
+                units.append(("single", b))
+                i += 1
+        carries: List = []
+        imports: List = []
+        fresh_cores: List = []
+        for u in units:
+            if u[0] == "pair":
+                _, fir, fft = u
+                carry, _ = fir.fuse_export(1)
+                fft.fuse_export(1)  # stateless here (leftover == 0)
+                carries.append(carry)
+                imports.append(lambda c, fir=fir: fir.fuse_import(c))
+                fresh_cores.append(None)  # built on cache miss
+            else:
+                b = u[1]
+                carry, step = b.fuse_export(1)
+                carries.append(carry)
+                imports.append(lambda c, b=b: b.fuse_import(c))
+                fresh_cores.append(lambda c, x, _s=step: _s(c, x))
+        self.carries = tuple(carries)
+        self._imports = imports
+        self._epochs = self._epoch_sig()
+        key = (self._epochs, _carry_sig(self.carries))
+        cached = self._step_cache.get(key)
+        if cached is None:
+            cores: List = []
+            params: List = []
+            for u, core in zip(units, fresh_cores):
+                if u[0] == "pair":
+                    step, p = self._build_pair_core(u[1], u[2])
+                    cores.append(step)
+                    params.append(p)
+                else:
+                    cores.append(core)
+                    params.append(())
+            cached = (_chain_step(cores), tuple(params))
+            if len(self._step_cache) > 4:
+                self._step_cache.clear()
+            self._step_cache[key] = cached
+        self.step, self.params = cached
+        self.engaged = True
+        self.engage_count += 1
+        return True
+
+    @staticmethod
+    def _pair_eligible(fir, fft) -> bool:
+        """Combined FIR*DFT operator preconditions (no side effects):
+        complex stream, 1 < K <= min(128, nbins)+1, forward FFT, no
+        mid-frame leftover phase."""
+        if fft.inverse or not fir.dtype.is_complex:
+            return False
+        k = len(fir._taps)
+        pp = min(128, fft.num_bins)
+        if not (1 < k <= pp + 1):
+            return False
+        return fft.input(0).elements() == 0
+
+    def _build_pair_core(self, fir, fft):
+        """Adjacent FIR -> forward FFT as the combined FIR*DFT operator
+        (parallel/chain.py — fastest formulation measured on-chip).
+        Big pulls are reshaped into [R, PAIR_ROW] rows with the FIR
+        history stitched across rows — a [256, 131072] batch runs ~4x
+        faster per sample than one enormous single row on this chip
+        (benches/probe_topo_shape.py)."""
+        k = len(fir._taps)
+        nbins = fft.num_bins
+        pp = min(128, nbins)
+        from pothoscomms_tpu.parallel.chain import (
+            combined_fir_fft_operators, fir_fft_combined_step)
+        import jax.numpy as jnp
+
+        (g0r, g0i), (g1r, g1i) = combined_fir_fft_operators(
+            fir._taps, nbins, pp)
+        params = (g0r, g0i, g0r + g0i, g1r, g1i, g1r + g1i)
+
+        def step(carry, x, g0r, g0i, g0s, g1r, g1i, g1s):
+            t = x.shape[1]
+            # r: power of two <= 256 that divides the window count, so
+            # each row is a whole number of nbins-windows
+            nw = t // nbins
+            v2 = (nw & -nw).bit_length() - 1  # trailing zeros of nw
+            r0 = min(256, max(1, t // PAIR_ROW))
+            r = 1 << min(v2, r0.bit_length() - 1)
+            row = t // r
+            xr = x.reshape(r, row, 2)
+            if r > 1 and k > 1:
+                # row i's history = tail of row i-1 (overlap-save)
+                tails = xr[:-1, row - (k - 1):, :]
+                hists = jnp.concatenate([carry, tails], axis=0)
+            else:
+                hists = carry
+            spec, _ = fir_fft_combined_step(
+                xr, hists, g0r, g0i, g0s, g1r, g1i, g1s, nbins, k, pp)
+            new_carry = xr[-1:, row - (k - 1):, :] if k > 1 \
+                else xr[-1:, :0, :]
+            return new_carry, spec.reshape(1, t // nbins, nbins, 2)
+
+        return step, params
+
+    def disengage(self) -> None:
+        if not self.engaged:
+            return
+        for imp, carry in zip(self._imports, self.carries):
+            imp(carry)
+        self.engaged = False
+        self.step = None
+        self.carries = None
+        self.params = None
+        self._imports = None
+
+    # ------------------------------------------------------------------ #
+    def _bucket(self, n: int) -> int:
+        """Largest granule-aligned power-of-two pull <= n (bounds the
+        number of distinct compiled shapes)."""
+        g = self.granule
+        floor = max(g, MIN_PULL)
+        if n < floor:
+            return 0
+        q = g << int(math.log2(n // g))
+        return min(q, MAX_QUANTUM - MAX_QUANTUM % g)
+
+    def _pull(self, n: int):
+        import jax.numpy as jnp
+
+        parts = self.head.take(n)
+        planars = [to_planar_jax(p, self.head_dtype) for p in parts]
+        x = planars[0] if len(planars) == 1 else jnp.concatenate(
+            planars, axis=0)
+        return x[None]  # [1, T(, 2)]
+
+    def work(self) -> None:
+        if not self.engaged:
+            return
+        port = self.head
+        if port._messages or self._epoch_sig() != self._epochs:
+            # messages demand the streaming path; reconfig demands new
+            # cores — both via disengage (re-engage follows once the
+            # queue is clean and over threshold again)
+            self.disengage()
+            return
+        avail = port.elements()
+        limit = self._head_label_limit()
+        if limit is not None:
+            # fused processing runs up to the label; the labeled region
+            # streams with exact per-sample semantics
+            avail = min(avail, limit)
+        free = self.tail_out.free_space()
+        cap = avail if free is None else min(avail, max(free, 0))
+        q = self._bucket(cap)
+        if q == 0:
+            if limit is not None:
+                # label within one quantum: the labeled region must
+                # stream. Withhold the label-free backlog behind it so
+                # the streaming drain stays bounded and the backlog
+                # re-engages next round.
+                if self.stash_safe:
+                    last = max(lb.index + max(lb.width, 1)
+                               for lb in port.labels)
+                    if port.elements() > last:
+                        self.stash = port.split_tail(last)
+                self.disengage()
+            return
+        x = self._pull(q)
+        y, self.carries = self.step(x, self.carries, self.params)
+        y0 = y[0]
+        if y0.ndim == 3:  # frames [m, nbins, 2] -> stream of spectra
+            y0 = y0.reshape(-1, 2)
+        self.tail_out.post(DeviceChunk(y0, self.tail_dtype))
+        self.fused_elements += q

@@ -32,6 +32,13 @@ class Topology:
         self.name = name
         self.blocks: List[Block] = []
         self._committed = False
+        # Auto-fusion (core/fusion.py): linear runs of device-core
+        # blocks execute as ONE jitted program once the head edge
+        # backlog crosses fuse_threshold elements. None disables.
+        self.auto_fuse = True
+        self.fuse_threshold: int = 1 << 16
+        self._segments: List = []
+        self._seg_by_block: dict = {}
 
     # ------------------------------------------------------------------ #
     # Graph construction
@@ -90,10 +97,19 @@ class Topology:
             blk._emit_queue = None
         for blk, name, args in deferred:
             blk.emit_signal(name, *args)
+        if self.auto_fuse:
+            from pothoscomms_tpu.core.fusion import detect_segments
+
+            self._segments = detect_segments(self.blocks, self)
+        self._seg_by_block = {
+            id(b): seg for seg in self._segments for b in seg.blocks
+        }
         self._committed = True
 
     def uncommit(self) -> None:
         if self._committed:
+            for seg in self._segments:
+                seg.disengage()
             for blk in self.blocks:
                 blk.deactivate()
                 blk._active = False
@@ -125,9 +141,37 @@ class Topology:
         return (consumed, produced, msgs, pending, quota)
 
     def _run_once(self) -> bool:
-        """One scheduling round over all blocks; True if any progress."""
+        """One scheduling round over all blocks; True if any progress.
+
+        Blocks belonging to an ENGAGED fused segment are executed by
+        the segment (one jitted step per round) instead of their own
+        work(); disengaged segments' members run normally. After the
+        round, segments whose head backlog crossed the threshold
+        engage; when the graph would otherwise report quiescence with
+        engaged segments still holding sub-quantum data, they
+        disengage so the streaming path drains the remainder."""
         before = self._state_fingerprint()
         for blk in self.blocks:
+            seg = self._seg_by_block.get(id(blk))
+            if seg is not None:
+                if seg.blocks[0] is blk:
+                    # engagement checked at the head's schedule slot so
+                    # a fresh backlog goes fused in the same round
+                    if (not seg.engaged and self.fuse_threshold is not None
+                            and seg.head.elements() >= self.fuse_threshold):
+                        seg.try_engage()
+                    if seg.engaged:
+                        t0 = time.perf_counter()
+                        seg.work()
+                        blk._work_time += time.perf_counter() - t0
+                        blk._work_calls += 1
+                        if seg.engaged:
+                            continue
+                        # disengaged mid-slot (label/reconfig): fall
+                        # through so the head streams the labeled
+                        # region this very round
+                elif seg.engaged:
+                    continue  # member executed by its segment
             if not blk.wants_work() or blk.downstream_congested():
                 continue
             for p in blk.inputs.values():
@@ -138,7 +182,23 @@ class Topology:
             blk.work()
             blk._work_time += time.perf_counter() - t0
             blk._work_calls += 1
-        return self._state_fingerprint() != before
+        # return any backlog a segment withheld from a label-bounded
+        # streaming drain — same round, so it stays the newest data in
+        # the head queue (order-correct append)
+        for seg in self._segments:
+            if seg.stash is not None:
+                for part in seg.stash:
+                    seg.head.push_buffer(part)
+                seg.stash = None
+        progressed = self._state_fingerprint() != before
+        if not progressed:
+            for seg in self._segments:
+                if seg.engaged:
+                    # stream drained below one quantum: fold state back
+                    # so the streaming path finishes the remainder
+                    seg.disengage()
+                    progressed = True
+        return progressed
 
     def wait_inactive(self, timeout: float = 10.0, idle: float = 0.0) -> bool:
         """Run the graph to quiescence (reference: Topology::waitInactive,
@@ -199,6 +259,10 @@ class Topology:
         """Checkpoint all block carry state + queued port data."""
         from pothoscomms_tpu.core.introspect import save_state
 
+        # fused carries live in the segments; fold them back into the
+        # blocks' streaming state so the checkpoint is self-contained
+        for seg in self._segments:
+            seg.disengage()
         save_state(self, path)
 
     def load_state(self, path: str) -> None:
