@@ -34,8 +34,11 @@ def main():
     from pothoscomms_tpu.core.fusion import DeviceChunk, to_planar_jax
 
     class ChecksumSink(Block):
-        """Accumulates a device-resident checksum of everything posted;
-        one scalar fetch at the end forces the whole pipeline."""
+        """Collects device chunks without touching them (CollectorSink
+        discipline); checksum() reduces them all in one pass — the
+        single forced fetch that materializes the whole pipeline,
+        called inside the timed region (same sync discipline as
+        bench.py's final jnp.sum)."""
 
         def __init__(self, dtype):
             super().__init__()
@@ -43,22 +46,24 @@ def main():
 
             self.dtype = DType.parse(dtype)
             self.setup_input(0, self.dtype)
-            self._sum = jnp.float32(0.0)
+            self._chunks = []
             self._count = 0
-            self._add = jax.jit(lambda acc, x: acc + jnp.sum(x))
+            self._sum = jax.jit(jnp.sum)
 
         def work(self):
             port = self.input(0)
             n = port.elements()
             if n == 0:
                 return
-            for part in port.take(n):
-                self._sum = self._add(self._sum, to_planar_jax(
-                    part, self.dtype))
+            self._chunks.extend(port.take(n))
             self._count += n
 
         def checksum(self):
-            return float(self._sum)
+            total = 0.0
+            for part in self._chunks:
+                total += float(self._sum(to_planar_jax(part, self.dtype)))
+            self._chunks.clear()
+            return total
 
     import os
 

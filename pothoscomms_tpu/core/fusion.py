@@ -173,16 +173,26 @@ def _chain_step(cores):
     """Compose per-core steps into one jitted program. Each core has
     signature ``core(carry, x, *params) -> (carry', y)``; params are
     passed as jit ARGUMENTS (large operator matrices as closure
-    constants choke the remote TPU compiler — parallel/chain.py)."""
+    constants choke the remote TPU compiler — parallel/chain.py).
+
+    The output is flattened to stream layout ([T, 2] planar / [T] real)
+    INSIDE the program: any eager (non-jit) array op through the TPU
+    relay costs hundreds of ms on a big buffer
+    (benches/probe_fusion_step.py: a single out-of-jit reshape of a
+    256 MB result measured 550 ms vs 17 ms for the whole fused step)."""
     import jax
 
     @jax.jit
     def step(x, carries, params):
+        x = x[None]  # stream [T(, 2)] -> [C=1, T(, 2)] inside jit
         new = []
         for core, c, p in zip(cores, carries, params):
             c2, x = core(c, x, *p)
             new.append(c2)
-        return x, tuple(new)
+        y = x[0]  # drop the channel axis
+        if y.ndim == 3:  # FFT frames [nw, nbins, 2] -> stream
+            y = y.reshape(-1, 2)
+        return y, tuple(new)
 
     return step
 
@@ -430,13 +440,15 @@ class FusedSegment:
         return min(q, MAX_QUANTUM - MAX_QUANTUM % g)
 
     def _pull(self, n: int):
+        """First n queued elements as one flat planar device array
+        ([T(, 2)]; the channel axis is added inside the jitted step —
+        eager array ops through the relay are very expensive)."""
         import jax.numpy as jnp
 
         parts = self.head.take(n)
         planars = [to_planar_jax(p, self.head_dtype) for p in parts]
-        x = planars[0] if len(planars) == 1 else jnp.concatenate(
+        return planars[0] if len(planars) == 1 else jnp.concatenate(
             planars, axis=0)
-        return x[None]  # [1, T(, 2)]
 
     def work(self) -> None:
         if not self.engaged:
@@ -472,8 +484,5 @@ class FusedSegment:
             return
         x = self._pull(q)
         y, self.carries = self.step(x, self.carries, self.params)
-        y0 = y[0]
-        if y0.ndim == 3:  # frames [m, nbins, 2] -> stream of spectra
-            y0 = y0.reshape(-1, 2)
-        self.tail_out.post(DeviceChunk(y0, self.tail_dtype))
+        self.tail_out.post(DeviceChunk(y, self.tail_dtype))
         self.fused_elements += q
