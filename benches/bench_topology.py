@@ -59,18 +59,21 @@ def main():
             self._count += n
 
         def checksum(self):
-            total = 0.0
-            for part in self._chunks:
-                total += float(self._sum(to_planar_jax(part, self.dtype)))
+            # timing barrier identical to bench.py's: force the LAST
+            # result — device execution is in-order, so its value
+            # waits on every step dispatched before it
+            if not self._chunks:
+                return 0.0
+            last = self._chunks[-1]
             self._chunks.clear()
-            return total
+            return float(self._sum(to_planar_jax(last, self.dtype)))
 
     import os
 
     K, NBINS = 64, 1024
-    CHUNK = 1 << 25          # elements per fed chunk == MAX_QUANTUM:
-    CHUNKS_PER_ITER = 1      # each device call carries ~5-7 ms fixed
-    ITERS = 4                # relay overhead, so quanta must be large
+    CHUNK = 1 << 25          # elements per fed chunk (2x MAX_QUANTUM:
+    CHUNKS_PER_ITER = 4      # each device call carries ~5-7 ms fixed
+    ITERS = 2                # relay overhead, so quanta must be large)
     if os.environ.get("BENCH_SMALL"):  # CPU smoke test of the harness
         CHUNK, CHUNKS_PER_ITER, ITERS = 1 << 16, 2, 2
     rng = np.random.default_rng(0)
@@ -100,26 +103,30 @@ def main():
         _ = float(jnp.sum(x))  # materialize before timing
         return DeviceChunk(x, "complex_float32")
 
-    # pre-stage all inputs (same as bench.py's pool)
+    def run_pass(chunks):
+        """One full pass: feed, run to quiescence, force the checksum.
+        Warmup and timed passes are IDENTICAL so every program the
+        timed passes dispatch (fused steps at each ladder rung, pull
+        slice/concat kernels, checksum sums) is compiled in warmup."""
+        for ch in chunks:
+            feed.feed_buffer(ch)
+        assert topo.wait_inactive(timeout=1800.0)
+        return sink.checksum()
+
+    # pre-stage all inputs (same as bench.py's pool; fresh data per
+    # pass — the relay memoizes identical executions)
     pools = [[stage_chunk(i * 100 + j) for j in range(CHUNKS_PER_ITER)]
              for i in range(ITERS + 1)]
 
-    # warmup iteration: engages the segment + compiles the pull shape
-    for ch in pools[-1]:
-        feed.feed_buffer(ch)
-    assert topo.wait_inactive(timeout=600.0)
-    _ = sink.checksum()
+    warm_cs = run_pass(pools[-1])
+    assert np.isfinite(warm_cs)
     seg = topo._segments[0]
     assert seg.engage_count >= 1, "segment never engaged"
 
-    # timed region: all iterations fed into ONE sustained run so the
-    # segment stays engaged throughout (no per-iteration drain)
     t0 = time.perf_counter()
+    checksum = 0.0
     for i in range(ITERS):
-        for ch in pools[i]:
-            feed.feed_buffer(ch)
-    assert topo.wait_inactive(timeout=600.0)
-    checksum = sink.checksum()  # force everything
+        checksum += run_pass(pools[i])
     dt = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(checksum)
     samples = CHUNK * CHUNKS_PER_ITER

@@ -45,7 +45,7 @@ Block protocol (implemented by fusable blocks):
 
 from __future__ import annotations
 
-import math
+import functools
 from typing import List, Optional
 
 import numpy as np
@@ -53,18 +53,40 @@ import numpy as np
 from pothoscomms_tpu.core.dtypes import DType
 
 # Engage only pays off under sustained load; pulls below this floor are
-# left for the streaming path (end-of-stream drain disengages).
-MIN_PULL = 4096
-# Elements per fused step cap: bounds device working-set and compile
-# count (pull sizes are granule-aligned powers of two up to this).
-# Sized large because each device call carries ~7 ms of fixed relay
-# overhead on this chip (benches/probe_topo_shape.py): small quanta
-# are overhead-bound regardless of kernel quality.
-MAX_QUANTUM = 1 << 25
+# left for the streaming path (end-of-stream drain disengages). The
+# effective floor is min(MIN_PULL, topology.fuse_threshold) so tests
+# with a lowered threshold still engage on small data.
+MIN_PULL = 1 << 16
+# Elements per fused step cap: each device call carries ~5-7 ms of
+# fixed relay overhead on this chip (benches/probe_topo_shape.py), so
+# quanta must be large; pull sizes step down from here in FACTORS OF 4
+# (not 2) to bound the number of distinct compiled shapes — remote
+# compiles of the big pair program take minutes each.
+MAX_QUANTUM = 1 << 24
 # Row length the FIR(+FFT) pair reshapes big pulls into: a [R, ROW]
 # batch matches the bench-proven [256, 131072] program shape instead
 # of one enormous single-row call (FIR history stitches across rows).
 PAIR_ROW = 1 << 17
+
+
+@functools.lru_cache(maxsize=512)
+def _slice_fn(start: int, stop: int):
+    """Jitted contiguous row-slice. Eager (op-by-op) array ops through
+    the TPU relay cost ~0.5-1 s EACH regardless of size
+    (benches/probe_topo_phases.py); jitted versions cost one dispatch.
+    Cached per (start, stop); jax.jit handles per-shape caching."""
+    import jax
+
+    return jax.jit(lambda a: jax.lax.slice_in_dim(a, start, stop, axis=0))
+
+
+@functools.lru_cache(maxsize=64)
+def _concat_fn(n: int):
+    """Jitted n-way row-concat (see _slice_fn for why not eager)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda *parts: jnp.concatenate(parts, axis=0))
 
 
 class DeviceChunk:
@@ -90,7 +112,15 @@ class DeviceChunk:
         return int(self.planar.shape[0])
 
     def __getitem__(self, sl):
-        return DeviceChunk(self.planar[sl], self.dtype)
+        # contiguous row slices go through a jit-cached kernel: an
+        # eager slice through the relay costs ~1 s (see _slice_fn)
+        n = int(self.planar.shape[0])
+        start, stop, step = sl.indices(n)
+        if step != 1:
+            return DeviceChunk(self.planar[sl], self.dtype)
+        if start == 0 and stop == n:
+            return self
+        return DeviceChunk(_slice_fn(start, stop)(self.planar), self.dtype)
 
     def __array__(self, dtype=None, copy=None):
         p = np.asarray(self.planar)
@@ -289,7 +319,7 @@ class FusedSegment:
         limit = self._head_label_limit()
         if limit is not None:
             avail = min(avail, limit - head_ret)
-        if avail < max(self.granule, MIN_PULL):
+        if self._bucket(avail) == 0:
             return False
         if not all(b.fuse_ready() for b in self.blocks):
             return False
@@ -430,25 +460,31 @@ class FusedSegment:
 
     # ------------------------------------------------------------------ #
     def _bucket(self, n: int) -> int:
-        """Largest granule-aligned power-of-two pull <= n (bounds the
-        number of distinct compiled shapes)."""
+        """Largest pull from the base-4 shape ladder g*4^k <= n. Base 4
+        (not 2) halves the count of distinct compiled shapes — each new
+        shape costs a multi-second remote compile of the fused program
+        (benches/probe_topo_phases.py) — at the price of at most 3
+        pulls per ladder rung during a drain."""
         g = self.granule
-        floor = max(g, MIN_PULL)
+        thresh = getattr(self.topology, "fuse_threshold", None) or MIN_PULL
+        floor = max(g, min(MIN_PULL, thresh))
         if n < floor:
             return 0
-        q = g << int(math.log2(n // g))
-        return min(q, MAX_QUANTUM - MAX_QUANTUM % g)
+        q = g
+        while q * 4 <= min(n, MAX_QUANTUM):
+            q *= 4
+        return q if q >= floor else 0
 
     def _pull(self, n: int):
         """First n queued elements as one flat planar device array
         ([T(, 2)]; the channel axis is added inside the jitted step —
-        eager array ops through the relay are very expensive)."""
-        import jax.numpy as jnp
-
+        eager array ops through the relay are very expensive, so the
+        multi-part case concatenates through a jit-cached kernel)."""
         parts = self.head.take(n)
         planars = [to_planar_jax(p, self.head_dtype) for p in parts]
-        return planars[0] if len(planars) == 1 else jnp.concatenate(
-            planars, axis=0)
+        if len(planars) == 1:
+            return planars[0]
+        return _concat_fn(len(planars))(*planars)
 
     def work(self) -> None:
         if not self.engaged:

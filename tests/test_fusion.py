@@ -351,3 +351,40 @@ def test_no_fusion_for_unsupported_dtype():
     assert all(s.engage_count == 0 for s in topo._segments)
     # and output is still correct via streaming
     assert len(sink.get_buffer()) > 0
+
+
+def test_many_small_feeds_concat_pull():
+    """Pulls spanning many queued parts (jitted concat path) must match
+    streaming exactly; feeds deliberately misalign part boundaries."""
+    def build():
+        fir = BlockRegistry.make("/comms/fir_filter", "complex_float32",
+                                 "REAL")
+        fir.set_taps(np.hamming(11) / 6)
+        fft = BlockRegistry.make("/comms/fft", "complex_float32", 64, False)
+        return [fir, fft], "complex_float32", "complex_float32"
+
+    rng = np.random.default_rng(11)
+    feeds = [cplx(rng, int(n)) for n in
+             rng.integers(300, 900, size=40)]  # ~24k elements, 40 parts
+
+    def run(fuse):
+        blocks, di, do = build()
+        sink = CollectorSink(do)
+        topo = Topology()
+        topo.auto_fuse = fuse
+        topo.fuse_threshold = 2048
+        for a, b in zip(blocks, blocks[1:] + [sink]):
+            topo.connect(a, 0, b, 0)
+        # queue ALL parts up-front (a burst backlog): the engage pull
+        # then spans dozens of parts through the jitted concat
+        for part in feeds:
+            blocks[0].input(0).push_buffer(part)
+        topo.commit()
+        assert topo.wait_inactive(timeout=30.0)
+        return sink, topo
+
+    s_fused, topo = run(True)
+    s_ref, _ = run(False)
+    assert_engaged(topo)
+    np.testing.assert_allclose(s_fused.get_buffer(), s_ref.get_buffer(),
+                               atol=2e-2)
