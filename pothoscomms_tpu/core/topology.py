@@ -163,13 +163,22 @@ class Topology:
                     if seg.engaged:
                         t0 = time.perf_counter()
                         seg.work()
+                        if not seg.engaged:
+                            # disengaged mid-slot. Reconfig (epoch
+                            # bump): re-engage right away with rebuilt
+                            # cores; labels: engagement is blocked (or
+                            # label-limited), so fall through and let
+                            # the head stream the labeled region now.
+                            if (self.fuse_threshold is not None
+                                    and seg.head.elements()
+                                    >= self.fuse_threshold):
+                                seg.try_engage()
+                            if seg.engaged:
+                                seg.work()
                         blk._work_time += time.perf_counter() - t0
                         blk._work_calls += 1
                         if seg.engaged:
                             continue
-                        # disengaged mid-slot (label/reconfig): fall
-                        # through so the head streams the labeled
-                        # region this very round
                 elif seg.engaged:
                     continue  # member executed by its segment
             if not blk.wants_work() or blk.downstream_congested():
@@ -193,9 +202,15 @@ class Topology:
         progressed = self._state_fingerprint() != before
         if not progressed:
             for seg in self._segments:
-                if seg.engaged:
+                if seg.engaged and seg.head.elements() > 0:
                     # stream drained below one quantum: fold state back
-                    # so the streaming path finishes the remainder
+                    # so the streaming path finishes the remainder. A
+                    # segment whose head is EMPTY stays engaged across
+                    # quiescence — its state lives in the device carry
+                    # and the next backlog resumes fused directly
+                    # (avoiding an import/export round trip that would
+                    # also shift every later queue boundary by K-1 and
+                    # force fresh slice-program compiles).
                     seg.disengage()
                     progressed = True
         return progressed
