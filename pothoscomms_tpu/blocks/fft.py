@@ -93,7 +93,7 @@ class FFTBlock(Block):
                 out = np.asarray(_fft_int16(x, self.inverse)).reshape(k * nb, 2)
         else:
             x = np.asarray(buf).reshape(k, nb)
-            if on_tpu:
+            if on_tpu and self.dtype.bits == 32:
                 from pothoscomms_tpu.parallel import cplx
                 from pothoscomms_tpu.parallel.fft import fft_planar
                 y = fft_planar(jnp.asarray(cplx.to_planar(x)), nb, self.inverse)
@@ -101,9 +101,15 @@ class FFTBlock(Block):
                     self.dtype.np
                 ).reshape(k * nb)
             else:
-                out = np.asarray(
-                    _fft_float(x, self.inverse), dtype=self.dtype.np
-                ).reshape(k * nb)
+                # complex_float64 keeps full fidelity on the host CPU
+                # backend in a chip session (device.py policy, same as
+                # FIR/IIR) instead of a lossy planar-f32 downcast
+                from pothoscomms_tpu.core.device import compute_scope
+
+                with compute_scope(self.dtype):
+                    out = np.asarray(
+                        _fft_float(x, self.inverse), dtype=self.dtype.np
+                    ).reshape(k * nb)
         port.consume(k * nb)
         self.output(0).post(out)
 

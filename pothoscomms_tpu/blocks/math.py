@@ -120,8 +120,15 @@ class Arithmetic(Block):
         if elems == 0:
             return
         bufs = [p.buffer(elems) for p in ports]
-        x0 = jnp.asarray(bufs[0])
-        out = self._chain(x0, *bufs[1:])
+        from pothoscomms_tpu.core.device import compute_scope
+
+        with compute_scope(self.dtype):
+            # x0 must be created under the same device scope the jitted
+            # chain runs in: on the accelerator backend an int/complex
+            # array created outside the scope would need a device->host
+            # copy the backend cannot execute (UNIMPLEMENTED)
+            x0 = jnp.asarray(bufs[0])
+            out = self._chain(x0, *bufs[1:])
         if x0.is_deleted():
             # XLA actually consumed in0's device buffer for the output
             # (the reference asserts this real inlining,

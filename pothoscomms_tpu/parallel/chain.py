@@ -60,6 +60,10 @@ def fir_multichannel(x, history, kernel, decim: int = 1):
         padding="VALID",
         dimension_numbers=("NCW", "OIW", "NCW"),
         preferred_element_type=jnp.float32,
+        # DEFAULT would run the MXU conv in 1-pass bf16 on TPU and
+        # breach the reference numeric tolerances (same finding as the
+        # matmul study, benches/probe_tpu9.py)
+        precision=jax.lax.Precision.HIGHEST,
     )                                                  # [C, 2, T//decim]
     y = jnp.moveaxis(out, 1, -1)
     new_hist = xin[:, xin.shape[1] - (k - 1):, :] if k > 1 else \
