@@ -61,8 +61,10 @@ MIN_PULL = 1 << 16
 # fixed relay overhead on this chip (benches/probe_topo_shape.py), so
 # quanta must be large; pull sizes step down from here in FACTORS OF 4
 # (not 2) to bound the number of distinct compiled shapes — remote
-# compiles of the big pair program take minutes each.
-MAX_QUANTUM = 1 << 24
+# compiles of the big pair program take minutes each. At 32 Mi the
+# FIR+FFT pair reshapes to [256, 131072] — the exact program shape the
+# hand-fused bench runs.
+MAX_QUANTUM = 1 << 25
 # Row length the FIR(+FFT) pair reshapes big pulls into: a [R, ROW]
 # batch matches the bench-proven [256, 131072] program shape instead
 # of one enormous single-row call (FIR history stitches across rows).
