@@ -17,6 +17,29 @@ from pothoscomms_tpu.core.packet import Packet
 from pothoscomms_tpu.core.registry import register_block
 
 
+def _probe_reduce_fn(mode: str, is_complex: bool):
+    """Jit-cached probe reduction over a planar array (see
+    SignalProbe._probe_device)."""
+    import functools
+
+    @functools.lru_cache(maxsize=8)
+    def build(mode, is_complex):
+        import jax
+        import jax.numpy as jnp
+
+        def f(x):
+            if mode == "VALUE":
+                return x[-1]
+            if mode == "RMS":
+                sq = jnp.sum(x * x, axis=-1) if is_complex else x * x
+                return jnp.sqrt(jnp.mean(sq))
+            return jnp.mean(x, axis=0)  # MEAN
+
+        return jax.jit(f)
+
+    return build(mode, is_complex)
+
+
 @register_block("/comms/signal_probe", "/blocks/stream_probe")
 class SignalProbe(Block):
     """VALUE/RMS/MEAN probe over the last <=window elements, wall-clock
@@ -119,25 +142,20 @@ class SignalProbe(Block):
 
     def _probe_device(self, tail, n: int):
         """Device-side reduction over planar chunks: only the probe
-        scalar crosses to the host."""
-        import jax.numpy as jnp
-        from pothoscomms_tpu.core.fusion import to_planar_jax
+        scalar crosses to the host. All array ops go through jitted
+        kernels — eager ops cost ~1 s each through the TPU relay
+        (core/fusion.py)."""
+        from pothoscomms_tpu.core.fusion import _concat_fn, to_planar_jax
 
         planars = [to_planar_jax(p, self.dtype) for p in tail]
-        x = planars[0] if len(planars) == 1 else jnp.concatenate(
-            planars, axis=0)
-        if self._mode == "VALUE":
-            last = np.asarray(x[n - 1])
-            return (complex(last[0], last[1]) if self.dtype.is_complex
-                    else float(last))
+        x = planars[0] if len(planars) == 1 else _concat_fn(
+            len(planars))(*planars)
+        fn = _probe_reduce_fn(self._mode, self.dtype.is_complex)
+        out = np.asarray(fn(x))
         if self._mode == "RMS":
-            sq = jnp.sum(x * x, axis=-1) if self.dtype.is_complex else x * x
-            return float(jnp.sqrt(jnp.mean(sq)))
-        if self._mode == "MEAN":
-            m = np.asarray(jnp.mean(x, axis=0))
-            return (complex(m[0], m[1]) if self.dtype.is_complex
-                    else float(m))
-        return self._value
+            return float(out)
+        return (complex(out[0], out[1]) if self.dtype.is_complex
+                else float(out))
 
 
 # ---------------------------------------------------------------------- #
