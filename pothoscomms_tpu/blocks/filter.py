@@ -317,10 +317,12 @@ class FIRFilter(Block):
         return carry, step
 
     def fuse_import(self, carry) -> None:
-        k1 = self._K - 1
-        if k1 == 0:
-            return
+        # restore from the carry's OWN length: a set_taps while engaged
+        # may have changed self._K since export, and the old history
+        # must re-enter the queue regardless (stream data, not config)
         h = np.asarray(carry)[0]
+        if h.shape[0] == 0:
+            return
         if self.dtype.is_complex:
             arr = (h[..., 0] + 1j * h[..., 1]).astype(self.dtype.np)
         else:

@@ -17,27 +17,26 @@ from pothoscomms_tpu.core.packet import Packet
 from pothoscomms_tpu.core.registry import register_block
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def _probe_reduce_fn(mode: str, is_complex: bool):
     """Jit-cached probe reduction over a planar array (see
-    SignalProbe._probe_device)."""
-    import functools
+    SignalProbe._probe_device). Cached at module scope so every probe
+    invocation reuses one compiled kernel instead of re-tracing."""
+    import jax
+    import jax.numpy as jnp
 
-    @functools.lru_cache(maxsize=8)
-    def build(mode, is_complex):
-        import jax
-        import jax.numpy as jnp
+    def f(x):
+        if mode == "VALUE":
+            return x[-1]
+        if mode == "RMS":
+            sq = jnp.sum(x * x, axis=-1) if is_complex else x * x
+            return jnp.sqrt(jnp.mean(sq))
+        return jnp.mean(x, axis=0)  # MEAN
 
-        def f(x):
-            if mode == "VALUE":
-                return x[-1]
-            if mode == "RMS":
-                sq = jnp.sum(x * x, axis=-1) if is_complex else x * x
-                return jnp.sqrt(jnp.mean(sq))
-            return jnp.mean(x, axis=0)  # MEAN
-
-        return jax.jit(f)
-
-    return build(mode, is_complex)
+    return jax.jit(f)
 
 
 @register_block("/comms/signal_probe", "/blocks/stream_probe")

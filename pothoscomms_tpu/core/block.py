@@ -98,6 +98,13 @@ class InputPort:
         if len(self._parts) > 1:
             self._parts = [_np_concat(self._parts)]
         buf = self._parts[0]
+        if not isinstance(buf, np.ndarray):
+            # a single queued DeviceChunk: buffer() is the HOST path —
+            # legacy blocks hand its result straight to jitted numpy
+            # kernels, which reject DeviceChunk. Materialize once and
+            # keep the numpy copy queued (device consumers use take()).
+            buf = np.asarray(buf)
+            self._parts[0] = buf
         return buf if n is None else buf[:n]
 
     def consume(self, n: int) -> None:

@@ -508,7 +508,12 @@ class FusedSegment:
         cap = avail if free is None else min(avail, max(free, 0))
         q = self._bucket(cap)
         if q == 0:
-            if limit is not None:
+            # q can be 0 either because the LABEL bounds the pull (the
+            # labeled region must stream — disengage) or purely from
+            # downstream congestion (free_space exhausted — just retry
+            # next round; disengaging would thrash engage/disengage and
+            # push the whole backlog through the slow streaming path)
+            if limit is not None and self._bucket(avail) == 0:
                 # label within one quantum: the labeled region must
                 # stream. Withhold the label-free backlog behind it so
                 # the streaming drain stays bounded and the backlog

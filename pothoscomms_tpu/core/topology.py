@@ -283,6 +283,12 @@ class Topology:
     def load_state(self, path: str) -> None:
         from pothoscomms_tpu.core.introspect import load_state
 
+        # mirror save_state: an engaged segment holds stream state in
+        # device carries; restoring underneath it would leave the stale
+        # carries to be imported on a later disengage, corrupting the
+        # freshly loaded queues
+        for seg in self._segments:
+            seg.disengage()
         load_state(self, path)
 
     def run_source_elements(self, n: int) -> None:
