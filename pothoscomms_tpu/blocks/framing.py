@@ -464,15 +464,11 @@ def new_sync_state() -> dict:
     }
 
 
-def run_sync_automaton(state: dict, arrays, mag_thresh: int, dur_thresh: int,
-                       try_decode):
-    """Walk the per-offset search arrays with the reference's peak
-    acceptance rules (magnitude >= 70% of sync width, duration >= 50% —
-    FrameSync.cpp:488-502, FrameHelper.hpp:11-13). At each accepted peak,
-    ``try_decode(frame_offset, state)`` attempts the header decode; a
-    non-None result stops the walk. Returns (i, frame_offset, result) or
-    None when the arrays are exhausted. ``state`` persists across calls
-    (streaming)."""
+def run_sync_automaton_scalar(state: dict, arrays, mag_thresh: int,
+                              dur_thresh: int, try_decode):
+    """Reference-shaped per-offset walk (FrameSync.cpp:488-502) — kept
+    as the oracle for the event-driven version below (differential
+    tests in tests/test_framing.py)."""
     scale, delta_fc, phase_off, corr_peak = arrays
     n = len(corr_peak)
     for i in range(n):
@@ -499,6 +495,100 @@ def run_sync_automaton(state: dict, arrays, mag_thresh: int, dur_thresh: int,
         result = try_decode(frame_offset, state)
         if result is not None:
             return i, frame_offset, result
+    return None
+
+
+def run_sync_automaton(state: dict, arrays, mag_thresh: int, dur_thresh: int,
+                       try_decode):
+    """Walk the per-offset search arrays with the reference's peak
+    acceptance rules (magnitude >= 70% of sync width, duration >= 50% —
+    FrameSync.cpp:488-502, FrameHelper.hpp:11-13). At each accepted peak,
+    ``try_decode(frame_offset, state)`` attempts the header decode; a
+    non-None result stops the walk. Returns (i, frame_offset, result) or
+    None when the arrays are exhausted. ``state`` persists across calls
+    (streaming).
+
+    Event-driven equivalent of the reference's per-sample loop: almost
+    every offset fails ``cp > mag_thresh`` and only increments the
+    duration counter, so Python touches only *candidate* offsets
+    (numpy ``nonzero`` pre-pass) and acceptance points — interior runs
+    advance the counter arithmetically. Exact-equivalence oracle:
+    :func:`run_sync_automaton_scalar`."""
+    scale, delta_fc, phase_off, corr_peak = arrays
+    cp_arr = np.asarray(corr_peak)
+    n = len(cp_arr)
+    cand = np.nonzero(cp_arr > mag_thresh)[0]
+    ncand = len(cand)
+    ci = 0
+    i = 0
+
+    def set_max(j: int) -> None:
+        # scalar steps 1+2 at a new-max index: reset count, then +1
+        state["max_corr_peak"] = int(cp_arr[j])
+        state["count_since_max"] = 1
+        state["delta_fc_max"] = float(delta_fc[j])
+        state["phase_off_max"] = float(phase_off[j])
+        state["scale_at_max"] = float(scale[j])
+
+    def do_accept(i_acc: int):
+        state["max_corr_peak"] = 0
+        frame_offset = i_acc - state["count_since_max"]
+        if frame_offset < 0:
+            return None  # peak carried over from a previous work()
+        result = try_decode(frame_offset, state)
+        if result is None:
+            return None
+        return (i_acc, frame_offset, result)
+
+    while i < n:
+        while ci < ncand and cand[ci] < i:
+            ci += 1
+        if state["max_corr_peak"] < mag_thresh:
+            # no pending peak: every non-candidate index is a pure
+            # counter increment — jump to the next candidate
+            if ci >= ncand:
+                state["count_since_max"] += n - i
+                return None
+            j = int(cand[ci])
+            ci += 1
+            state["count_since_max"] += j - i
+            set_max(j)
+            i = j + 1
+            if state["count_since_max"] >= dur_thresh:
+                out = do_accept(j)
+                if out is not None:
+                    return out
+            continue
+        # pending peak: the next event is either a LARGER candidate
+        # (resets the duration count) or the acceptance index where the
+        # count reaches dur_thresh — whichever comes first
+        c = state["count_since_max"]
+        accept_i = i + (dur_thresh - c - 1)
+        j = None
+        cj = ci
+        lim = min(accept_i, n - 1)
+        while cj < ncand and cand[cj] <= lim:
+            if int(cp_arr[cand[cj]]) > state["max_corr_peak"]:
+                j = int(cand[cj])
+                ci = cj + 1
+                break
+            cj += 1
+        if j is not None:
+            set_max(j)
+            i = j + 1
+            if state["count_since_max"] >= dur_thresh:
+                out = do_accept(j)
+                if out is not None:
+                    return out
+            continue
+        if accept_i >= n:
+            state["count_since_max"] += n - i
+            return None
+        state["count_since_max"] = dur_thresh
+        out = do_accept(accept_i)
+        i = accept_i + 1
+        if out is not None:
+            return out
     return None
 
 

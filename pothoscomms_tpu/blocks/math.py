@@ -28,9 +28,19 @@ def _as_np(x):
 
 class ElementwiseBlock(Block):
     """Generic N-in/M-out elementwise block: work() = jitted core over
-    min-available elements (reference pattern: math/Arithmetic.cpp:204-231)."""
+    min-available elements (reference pattern: math/Arithmetic.cpp:204-231).
 
-    def __init__(self, dtype, core: Callable, n_in=1, n_out=1, out_dtype=None):
+    Every 1-in/1-out float32 instance also implements the auto-fusion
+    protocol (core/fusion.py) so chains containing an abs/sinc/trig/...
+    hop stay fused — the reference bar is that EVERY math block gets its
+    fast kernel from the scheduler automatically
+    (math/Arithmetic.cpp:46-67). Real-f32 blocks reuse the numpy-dtype
+    core directly on the planar [C, T] block; complex-f32 blocks need an
+    explicit ``planar_core`` over [C, T, 2] (re, im) planes because the
+    device path is planar-f32 only."""
+
+    def __init__(self, dtype, core: Callable, n_in=1, n_out=1, out_dtype=None,
+                 planar_core: Callable = None):
         super().__init__()
         self.dtype = DType.parse(dtype)
         self.out_dtype = DType.parse(out_dtype) if out_dtype else self.dtype
@@ -38,6 +48,8 @@ class ElementwiseBlock(Block):
             self.setup_input(i, self.dtype)
         for i in range(n_out):
             self.setup_output(i, self.out_dtype)
+        self._raw_core = core
+        self._planar_core = planar_core
         self._core = self.jit(core)
         self._n_in = n_in
         self._n_out = n_out
@@ -56,6 +68,38 @@ class ElementwiseBlock(Block):
             self.input(i).consume(elems)
         for i in range(self._n_out):
             self.output(i).post(_as_np(outs[i]))
+
+    # -- auto-fusion protocol (core/fusion.py): stateless elementwise -- #
+    def _fuse_planar_core(self):
+        """The core applied on the fused (planar float32) path, or None
+        if this instance cannot fuse. A real-f32 -> real-f32 core is
+        dtype-generic jnp code and runs on the planar block unchanged;
+        complex handling must be supplied as ``planar_core``."""
+        if self._n_in != 1 or self._n_out != 1:
+            return None
+        if self._planar_core is not None:
+            return self._planar_core
+        f32 = (self.dtype.is_float and self.dtype.bits == 32
+               and not self.dtype.is_complex)
+        out_f32 = (self.out_dtype.is_float and self.out_dtype.bits == 32
+                   and not self.out_dtype.is_complex)
+        if f32 and out_f32:
+            return self._raw_core
+        return None
+
+    def fuse_ready(self) -> bool:
+        return self._fuse_planar_core() is not None
+
+    def fuse_export(self, channels: int):
+        f = self._fuse_planar_core()
+
+        def step(carry, x):
+            return carry, f(x)
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass
 
 
 # --------------------------------------------------------------------- #
@@ -170,6 +214,7 @@ class ConstArithmetic(Block):
         super().__init__()
         self.dtype = DType.parse(dtype)
         key = _CONST_OP_KEYS.get(operation, operation)
+        self._op_key = key
         self._fcn = self.jit(ew.const_arith_fn(self.dtype, key))
         self.setup_input(0, self.dtype)
         self.setup_output(0, self.dtype)
@@ -183,6 +228,7 @@ class ConstArithmetic(Block):
         else:
             c = np.asarray(constant, self.dtype.np)
         self._constant = c
+        self._bump_fuse_epoch()
 
     def constant(self):
         if self.dtype.is_complex_int:
@@ -197,6 +243,58 @@ class ConstArithmetic(Block):
         out = self._fcn(port.buffer(elems), self._constant)
         port.consume(elems)
         self.output(0).post(_as_np(out))
+
+    # -- auto-fusion protocol: stateless planar const-arith ------------- #
+    def fuse_ready(self) -> bool:
+        return self.dtype.is_float and self.dtype.bits == 32
+
+    def fuse_export(self, channels: int):
+        op = self._op_key
+        if not self.dtype.is_complex:
+            k = jnp.float32(self._constant)
+            base = ew.const_arith_fn(self.dtype, op)
+
+            def step(carry, x):
+                return carry, base(x, k)
+
+            return (), step
+        # complex f32: constant applied in planar (re, im) form
+        c = complex(self._constant)
+        kr, ki = jnp.float32(c.real), jnp.float32(c.imag)
+        kvec = jnp.asarray([c.real, c.imag], jnp.float32)
+
+        def cmul(x, ar, ai):
+            re = x[..., 0] * ar - x[..., 1] * ai
+            im = x[..., 0] * ai + x[..., 1] * ar
+            return jnp.stack([re, im], axis=-1)
+
+        if op == "X_PLUS_K":
+            f = lambda x: x + kvec
+        elif op == "X_MINUS_K":
+            f = lambda x: x - kvec
+        elif op == "K_MINUS_X":
+            f = lambda x: kvec - x
+        elif op == "X_MULT_K":
+            f = lambda x: cmul(x, kr, ki)
+        elif op == "X_DIV_K":
+            inv = 1.0 / (c if c != 0 else 1.0)
+            ir, ii = jnp.float32(inv.real), jnp.float32(inv.imag)
+            f = lambda x: cmul(x, ir, ii)
+        else:  # K_DIV_X: K * conj(x) / |x|^2
+            def f(x):
+                d = x[..., 0] * x[..., 0] + x[..., 1] * x[..., 1]
+                d = jnp.where(d == 0, jnp.float32(1.0), d)
+                re = (kr * x[..., 0] + ki * x[..., 1]) / d
+                im = (ki * x[..., 0] - kr * x[..., 1]) / d
+                return jnp.stack([re, im], axis=-1)
+
+        def step(carry, x):
+            return carry, f(x)
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass
 
 
 # --------------------------------------------------------------------- #
@@ -334,6 +432,7 @@ class Rotate(Block):
         self._phase = float(phase)
         phasor = np.exp(1j * self._phase)
         self._phasor = float_to_q(phasor, self._qdtype)
+        self._bump_fuse_epoch()
 
     def get_phase(self) -> float:
         return self._phase
@@ -363,6 +462,24 @@ class Rotate(Block):
         port.consume(elems)
         self.output(0).post(_as_np(out))
 
+    # -- auto-fusion protocol: stateless planar complex rotate ---------- #
+    def fuse_ready(self) -> bool:
+        return self.dtype.is_float and self.dtype.bits == 32
+
+    def fuse_export(self, channels: int):
+        ph = np.exp(1j * self._phase)
+        pr, pi = jnp.float32(ph.real), jnp.float32(ph.imag)
+
+        def step(carry, x):
+            re = x[..., 0] * pr - x[..., 1] * pi
+            im = x[..., 0] * pi + x[..., 1] * pr
+            return carry, jnp.stack([re, im], axis=-1)
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass
+
 
 # --------------------------------------------------------------------- #
 # Comparators (reference: math/Comparator.cpp, math/ConstComparator.cpp)
@@ -387,11 +504,32 @@ class ConstComparator(Block):
         self.dtype = DType.parse(dtype)
         self.setup_input(0, self.dtype)
         self.setup_output(0, DType.parse("int8"))
+        self._raw_cmp = cmp
         self._cmp = self.jit(cmp)
         self.set_constant(constant)
 
     def set_constant(self, constant):
         self._constant = np.asarray(constant, self.dtype.np)
+        self._bump_fuse_epoch()
+
+    # -- auto-fusion protocol: f32 stream -> 0/1 planar (int8 tail) ----- #
+    def fuse_ready(self) -> bool:
+        return (self.dtype.is_float and self.dtype.bits == 32
+                and not self.dtype.is_complex)
+
+    def fuse_export(self, channels: int):
+        k = jnp.float32(self._constant)
+        cmp = self._raw_cmp
+
+        def step(carry, x):
+            # device path is f32-only: emit 0.0/1.0; the DeviceChunk's
+            # int8 dtype casts on materialization
+            return carry, cmp(x, k).astype(jnp.float32)
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass
 
     def constant(self):
         return self._constant[()]
@@ -409,13 +547,28 @@ class ConstComparator(Block):
 # --------------------------------------------------------------------- #
 # Simple unary blocks
 # --------------------------------------------------------------------- #
+def _planar_abs(x):
+    return jnp.sqrt(x[..., 0] * x[..., 0] + x[..., 1] * x[..., 1])
+
+
+def _planar_angle(x):
+    return jnp.arctan2(x[..., 1], x[..., 0])
+
+
+def _planar_conj(x):
+    return jnp.stack([x[..., 0], -x[..., 1]], axis=-1)
+
+
 @register_block("/comms/abs")
 def abs_factory(dtype):
     dt = DType.parse(dtype)
     if dt.kind == "uint":
         raise ValueError("abs: unsigned types unsupported (reference matrix)")
     out = dt.scalar if dt.is_complex else dt
-    return ElementwiseBlock(dt, ew.abs_fn(dt), out_dtype=out)
+    planar = _planar_abs if (dt.is_complex and dt.is_float
+                             and dt.bits == 32) else None
+    return ElementwiseBlock(dt, ew.abs_fn(dt), out_dtype=out,
+                            planar_core=planar)
 
 
 @register_block("/comms/angle")
@@ -423,7 +576,9 @@ def angle_factory(dtype):
     dt = DType.parse(dtype)
     if not dt.is_complex:
         raise ValueError("angle requires a complex dtype")
-    return ElementwiseBlock(dt, ew.angle_fn(dt), out_dtype=dt.scalar)
+    planar = _planar_angle if (dt.is_float and dt.bits == 32) else None
+    return ElementwiseBlock(dt, ew.angle_fn(dt), out_dtype=dt.scalar,
+                            planar_core=planar)
 
 
 @register_block("/comms/conjugate")
@@ -431,7 +586,8 @@ def conjugate_factory(dtype):
     dt = DType.parse(dtype)
     if not dt.is_complex:
         raise ValueError("conjugate requires a complex dtype")
-    return ElementwiseBlock(dt, ew.conjugate_fn(dt))
+    planar = _planar_conj if (dt.is_float and dt.bits == 32) else None
+    return ElementwiseBlock(dt, ew.conjugate_fn(dt), planar_core=planar)
 
 
 @register_block("/comms/sinc")
@@ -519,7 +675,9 @@ class Trigonometric(ElementwiseBlock):
         if op not in ew.TRIG_OPS:
             raise ValueError(f"invalid trig operation {op}")
         self._op = op
-        self._core = self.jit(ew.TRIG_OPS[op])
+        self._raw_core = ew.TRIG_OPS[op]
+        self._core = self.jit(self._raw_core)
+        self._bump_fuse_epoch()
 
 
 # --------------------------------------------------------------------- #
@@ -535,8 +693,13 @@ class _ParamUnary(Block):
         self.dtype = DType.parse(dtype)
         self.setup_input(0, self.dtype)
         self.setup_output(0, self.dtype)
+        self._raw_core2 = core2
         self._core2 = self.jit(core2)
         self._param = np.asarray(param, np.float64)
+
+    def set_param(self, value) -> None:
+        self._param = np.asarray(value, np.float64)
+        self._bump_fuse_epoch()
 
     def work(self):
         port = self.input(0)
@@ -547,6 +710,23 @@ class _ParamUnary(Block):
         port.consume(elems)
         self.output(0).post(_as_np(out))
 
+    # -- auto-fusion protocol: stateless f32 unary with baked param ----- #
+    def fuse_ready(self) -> bool:
+        return (self.dtype.is_float and self.dtype.bits == 32
+                and not self.dtype.is_complex)
+
+    def fuse_export(self, channels: int):
+        p = jnp.float32(self._param)
+        core2 = self._raw_core2
+
+        def step(carry, x):
+            return carry, core2(x, p)
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass
+
 
 @register_block("/comms/pow")
 def pow_factory(dtype, exponent=0.0):
@@ -554,7 +734,7 @@ def pow_factory(dtype, exponent=0.0):
     if dt.is_complex:
         raise ValueError("pow: real types only")
     blk = _ParamUnary(dt, ew.pow_fn(dt), exponent)
-    blk.set_exponent = lambda e: setattr(blk, "_param", np.asarray(e, np.float64))
+    blk.set_exponent = blk.set_param
     blk.exponent = lambda: blk._param[()]
     blk.setExponent = blk.set_exponent
     return blk
@@ -576,7 +756,7 @@ def cbrt_factory(dtype):
 def nth_root_factory(dtype, root=1.0):
     dt = DType.parse(dtype)
     blk = _ParamUnary(dt, ew.root_fn(dt, "nth"), root)
-    blk.set_root = lambda r: setattr(blk, "_param", np.asarray(r, np.float64))
+    blk.set_root = blk.set_param
     blk.root = lambda: blk._param[()]
     blk.setRoot = blk.set_root
     return blk
@@ -616,8 +796,10 @@ def logn_factory(dtype, base=10.0):
         def set_base(self, b):
             if b <= 1:
                 raise ValueError("logN base must be > 1")
-            self._core = self.jit(ew.logn_fn(dt, float(b)))
+            self._raw_core = ew.logn_fn(dt, float(b))
+            self._core = self.jit(self._raw_core)
             self._base = float(b)
+            self._bump_fuse_epoch()
 
         def base(self):
             return self._base
@@ -635,8 +817,10 @@ def expn_factory(dtype, base=10.0):
         def set_base(self, b):
             if b <= 1:
                 raise ValueError("expN base must be > 1")
-            self._core = self.jit(ew.expn_fn(dt, float(b)))
+            self._raw_core = ew.expn_fn(dt, float(b))
+            self._core = self.jit(self._raw_core)
             self._base = float(b)
+            self._bump_fuse_epoch()
 
         def base(self):
             return self._base

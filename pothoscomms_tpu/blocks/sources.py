@@ -19,6 +19,13 @@ from pothoscomms_tpu.core.block import Block
 from pothoscomms_tpu.core.dtypes import DType
 from pothoscomms_tpu.core.registry import register_block
 
+# Tile width for device-side index generation. Index arithmetic on the
+# accelerator must stay float32-exact (no int32 arithmetic HLOs on the
+# axon backend): all index values are kept < 3 * table_size <= 3 * 2^20,
+# far inside f32's 2^24 exact-integer range, by working per-tile with
+# trace-time numpy constants for the tile offsets.
+_SRC_TILE = 65536
+
 DEFAULT_WAVE_TABLE_SIZE = 4096
 MAX_WAVE_TABLE_SIZE = 1024 * 1024
 MINIMUM_TABLE_STEP_SIZE = 16
@@ -176,6 +183,7 @@ class WaveformSource(_TableSource):
         else:
             raise ValueError(f"unknown waveform setting {self._wave!r}")
         self._table = self._convert(vals)
+        self._bump_fuse_epoch()
 
     # -- generation (reference :98-108, vectorized) ---------------------- #
     def work(self):
@@ -189,6 +197,60 @@ class WaveformSource(_TableSource):
         self.output(0).post(self._table[idx])
         self._index = (self._index + n * self._step) % size
         self._source_quota = max(0, self._source_quota - n)
+
+    # -- auto-fusion source protocol (core/fusion.py) -------------------- #
+    # A source-headed fused segment generates samples ON DEVICE (table
+    # gather) so a source -> chain topology runs device-resident end to
+    # end with zero H2D staging per quantum — the analog of the
+    # reference's sources feeding the scheduler at memory speed
+    # (waveform/WaveformSource.cpp:98-108).
+    def fuse_source_ready(self) -> bool:
+        if not (self.dtype.is_float and self.dtype.bits == 32):
+            return False
+        if self._table is None and self.is_active():
+            self._update_table()
+        return self._table is not None
+
+    def fuse_source_export(self, channels: int):
+        """-> (carry, src_step, params). ``src_step(carry, t, *params)``
+        produces [1, t(, 2)] planar f32; ``t`` is static per trace.
+        Carry is the f32 table index (exact: index < table size <= 2^20).
+        The streaming path's index semantics are reproduced exactly:
+        idx_i = (index + i*step) mod N via per-tile modular splits whose
+        partial sums stay < 3N (f32-exact)."""
+        import jax.numpy as jnp
+
+        if self._table is None:
+            self._update_table()
+        N = self._mask + 1
+        step_i = self._step % N
+        tab = self._table
+        if self.dtype.is_complex:
+            tbl = jnp.asarray(
+                np.stack([tab.real, tab.imag], -1).astype(np.float32))
+        else:
+            tbl = jnp.asarray(np.asarray(tab, np.float32))
+        base_full = jnp.asarray(
+            (np.arange(_SRC_TILE, dtype=np.int64) * step_i % N
+             ).astype(np.float32))
+        carry = jnp.asarray(np.float32(self._index % N))
+        fN = float(N)
+
+        def src_step(carry, t, base_full, tbl):
+            g = min(t, _SRC_TILE)
+            k = -(-t // g)  # ceil: gather k*g then slice to t
+            offs = jnp.asarray(
+                (np.arange(k, dtype=np.int64) * g * step_i % N
+                 ).astype(np.float32))
+            idx = jnp.mod(base_full[:g][None, :] + offs[:, None] + carry, fN)
+            y = tbl[idx.reshape(-1)[:t].astype(jnp.int32)]
+            adv = np.float32((t * step_i) % N)
+            return jnp.mod(carry + adv, fN), y[None]
+
+        return carry, src_step, (base_full, tbl)
+
+    def fuse_source_import(self, carry) -> None:
+        self._index = int(round(float(np.asarray(carry)))) % (self._mask + 1)
 
 
 @register_block("/comms/noise_source", "/blocks/noise_source")
@@ -239,6 +301,7 @@ class NoiseSource(_TableSource):
 
     def set_fast(self, fast: bool):
         self._fast = bool(fast)
+        self._bump_fuse_epoch()
 
     # -- draws ----------------------------------------------------------- #
     def _draw(self, n: int) -> np.ndarray:
@@ -269,6 +332,7 @@ class NoiseSource(_TableSource):
         if not self.is_active():
             return
         self._table = self._convert(self._draw(DEFAULT_WAVE_TABLE_SIZE))
+        self._bump_fuse_epoch()
 
     def work(self):
         if self._table is None:
@@ -285,3 +349,50 @@ class NoiseSource(_TableSource):
             out = self._convert(self._draw(n))
         self.output(0).post(out)
         self._source_quota = max(0, self._source_quota - n)
+
+    # -- auto-fusion source protocol (core/fusion.py) -------------------- #
+    # Fast mode only: the device core re-enters the pre-filled pool at a
+    # Weyl-sequence offset per 4096-tile (the host path re-enters at a
+    # numpy-RNG offset per work call, NoiseSource.cpp:105-117 — fast
+    # mode has no deterministic sequence contract, so parity with the
+    # streaming path is statistical, not bit-exact).
+    def fuse_source_ready(self) -> bool:
+        if not (self.dtype.is_float and self.dtype.bits == 32
+                and self._fast):
+            return False
+        if self._table is None and self.is_active():
+            self._update_table()
+        return self._table is not None
+
+    def fuse_source_export(self, channels: int):
+        import jax.numpy as jnp
+
+        if self._table is None:
+            self._update_table()
+        P = DEFAULT_WAVE_TABLE_SIZE
+        tab = self._table
+        if self.dtype.is_complex:
+            tbl = jnp.asarray(
+                np.stack([tab.real, tab.imag], -1).astype(np.float32))
+        else:
+            tbl = jnp.asarray(np.asarray(tab, np.float32))
+        base = jnp.asarray(np.arange(P, dtype=np.float32))
+        carry = jnp.asarray(np.float32(int(self._rng.integers(0, P))))
+        fP = float(P)
+        WEYL = 2531  # odd stride ~ P/phi: low-discrepancy pool re-entry
+
+        def src_step(carry, t, base, tbl):
+            k = -(-t // P)
+            woffs = jnp.asarray(
+                (np.arange(k, dtype=np.int64) * WEYL % P).astype(np.float32))
+            offs = jnp.mod(woffs + carry, fP)
+            idx = jnp.mod(base[None, :] + offs[:, None], fP)
+            y = tbl[idx.reshape(-1)[:t].astype(jnp.int32)]
+            adv = np.float32((k * WEYL) % P)
+            return jnp.mod(carry + adv, fP), y[None]
+
+        return carry, src_step, (base, tbl)
+
+    def fuse_source_import(self, carry) -> None:
+        # pool re-entry is randomized either way; nothing to restore
+        pass

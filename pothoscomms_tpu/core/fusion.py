@@ -153,10 +153,21 @@ def _is_fusable(blk) -> bool:
             and len(blk.inputs) == 1 and len(blk.outputs) == 1)
 
 
+def _is_source_fusable(blk) -> bool:
+    """Unbounded source with a device generation core: may HEAD a run
+    (no input port — the segment is driven by the source quota and the
+    whole chain runs device-resident with zero H2D per quantum)."""
+    return (hasattr(blk, "fuse_source_export")
+            and hasattr(blk, "fuse_source_ready")
+            and not blk.inputs and len(blk.outputs) == 1)
+
+
 def detect_segments(blocks, topology) -> List["FusedSegment"]:
     """Maximal linear runs (length >= 2) of fusable blocks where each
     interior edge is exactly one output port feeding exactly one input
-    port. A frames-out block (FFT) terminates its run."""
+    port. A run may be HEADED by a fusable source (quota-driven). A
+    frames-out block (FFT) terminates its run. Fan-OUT at the run tail
+    is fine — the tail posts its DeviceChunk to every consumer."""
     used = set()
     segments = []
     # blocks that are fusion-run interiors must not be fan-in targets
@@ -166,7 +177,8 @@ def detect_segments(blocks, topology) -> List["FusedSegment"]:
             for port in out.downstream:
                 feeders[id(port)] = feeders.get(id(port), 0) + 1
     for blk in blocks:
-        if id(blk) in used or not _is_fusable(blk):
+        if id(blk) in used or not (_is_fusable(blk)
+                                   or _is_source_fusable(blk)):
             continue
         run = [blk]
         cur = blk
@@ -187,18 +199,42 @@ def detect_segments(blocks, topology) -> List["FusedSegment"]:
             seg = FusedSegment(run, topology)
             # stashing assumes nothing posts into the head port later
             # in the round than the head's own schedule slot (true for
-            # forward-only graphs; feedback edges disable it)
-            order = {id(b): i for i, b in enumerate(blocks)}
-            head_idx = order[id(run[0])]
-            seg.stash_safe = all(
-                order.get(id(b2), head_idx) < head_idx
-                for b2 in blocks
-                for out in b2.outputs.values()
-                for port in out.downstream
-                if port is seg.head
-            )
+            # forward-only graphs; feedback edges disable it). A
+            # source-headed segment has no head port (no labels either).
+            if seg.head is not None:
+                order = {id(b): i for i, b in enumerate(blocks)}
+                head_idx = order[id(run[0])]
+                seg.stash_safe = all(
+                    order.get(id(b2), head_idx) < head_idx
+                    for b2 in blocks
+                    for out in b2.outputs.values()
+                    for port in out.downstream
+                    if port is seg.head
+                )
             segments.append(seg)
     return segments
+
+
+def _source_chain_step(src_step, cores, t: int):
+    """Compose a source generation step with downstream cores into one
+    jitted program for a STATIC quantum of ``t`` elements (the source
+    has no input array to carry the shape, so t is baked per trace;
+    quanta come from the base-4 bucket ladder, bounding trace count)."""
+    import jax
+
+    @jax.jit
+    def step(carries, params):
+        c0, x = src_step(carries[0], t, *params[0])
+        new = [c0]
+        for core, c, p in zip(cores, carries[1:], params[1:]):
+            c2, x = core(c, x, *p)
+            new.append(c2)
+        y = x[0]
+        if y.ndim == 3:  # FFT frames [nw, nbins, 2] -> stream
+            y = y.reshape(-1, 2)
+        return y, tuple(new)
+
+    return step
 
 
 def _chain_step(cores):
@@ -252,10 +288,20 @@ class FusedSegment:
     def __init__(self, blocks, topology):
         self.blocks = blocks
         self.topology = topology
-        self.head = blocks[0].input(0)
+        # source-headed segments have no head input port: they are
+        # driven by the source block's production quota instead
+        self.source = blocks[0] if not blocks[0].inputs else None
+        self.head = None if self.source else blocks[0].input(0)
         self.tail_out = blocks[-1].output(0)
-        self.head_dtype = self.head.dtype
+        self.head_dtype = (blocks[0].output(0).dtype if self.source
+                           else self.head.dtype)
         self.tail_dtype = self.tail_out.dtype
+        # source-headed: per-quantum-shape compiled steps + the source
+        # step/params exported at engage
+        self._source_step = None
+        self._source_params = None
+        self._tail_cores = None
+        self._tail_params = None
         self.engaged = False
         self.step = None
         self.carries = None
@@ -285,6 +331,13 @@ class FusedSegment:
         self.fused_elements = 0
 
     # ------------------------------------------------------------------ #
+    def backlog(self) -> int:
+        """Elements available to fuse: head-port queue depth, or the
+        source quota for a source-headed segment."""
+        if self.source is not None:
+            return self.source._source_quota
+        return self.head.elements()
+
     def _epoch_sig(self):
         return tuple(b._fuse_epoch for b in self.blocks)
 
@@ -310,20 +363,26 @@ class FusedSegment:
         return ret or 0
 
     def try_engage(self) -> bool:
-        if self.engaged or self.head._messages or not self._interior_clean():
+        if self.engaged or not self._interior_clean():
+            return False
+        if self.head is not None and self.head._messages:
             return False
         # engaging must yield at least one label-free pull quantum AFTER
         # the head block's retained state is exported off the queue —
         # otherwise the segment would engage, pull nothing, and
         # disengage every round while starving the members
-        head_ret = self._head_retained()
-        avail = self.head.elements() - head_ret
-        limit = self._head_label_limit()
-        if limit is not None:
-            avail = min(avail, limit - head_ret)
+        if self.source is not None:
+            avail = self.source._source_quota
+        else:
+            head_ret = self._head_retained()
+            avail = self.head.elements() - head_ret
+            limit = self._head_label_limit()
+            if limit is not None:
+                avail = min(avail, limit - head_ret)
         if self._bucket(avail) == 0:
             return False
-        if not all(b.fuse_ready() for b in self.blocks):
+        if not all((b.fuse_source_ready() if b is self.source
+                    else b.fuse_ready()) for b in self.blocks):
             return False
         # Interior ports must hold EXACTLY their block's steady-state
         # retention (FIR: K-1 history; FFT: any sub-frame leftover,
@@ -339,11 +398,13 @@ class FusedSegment:
         # export carries; the compiled step + device params are cached
         # by (epochs, carry shapes) so a re-engage neither re-traces nor
         # re-uploads the pair's operator matrices
+        stream_blocks = (self.blocks[1:] if self.source is not None
+                         else self.blocks)
         units: List = []  # ("pair", fir, fft) | ("single", b)
         i = 0
-        while i < len(self.blocks):
-            b = self.blocks[i]
-            nxt = self.blocks[i + 1] if i + 1 < len(self.blocks) else None
+        while i < len(stream_blocks):
+            b = stream_blocks[i]
+            nxt = stream_blocks[i + 1] if i + 1 < len(stream_blocks) else None
             if (nxt is not None and getattr(b, "fuse_kind", None) == "fir"
                     and getattr(nxt, "fuse_kind", None) == "fft"
                     and self._pair_eligible(b, nxt)):
@@ -355,6 +416,13 @@ class FusedSegment:
         carries: List = []
         imports: List = []
         fresh_cores: List = []
+        if self.source is not None:
+            carry, src_step, src_params = self.source.fuse_source_export(1)
+            carries.append(carry)
+            imports.append(
+                lambda c, s=self.source: s.fuse_source_import(c))
+            self._source_step = src_step
+            self._source_params = src_params
         for u in units:
             if u[0] == "pair":
                 _, fir, fft = u
@@ -372,24 +440,44 @@ class FusedSegment:
         self.carries = tuple(carries)
         self._imports = imports
         self._epochs = self._epoch_sig()
-        key = (self._epochs, _carry_sig(self.carries))
-        cached = self._step_cache.get(key)
-        if cached is None:
-            cores: List = []
-            params: List = []
-            for u, core in zip(units, fresh_cores):
-                if u[0] == "pair":
-                    step, p = self._build_pair_core(u[1], u[2])
-                    cores.append(step)
-                    params.append(p)
-                else:
-                    cores.append(core)
-                    params.append(())
-            cached = (_chain_step(cores), tuple(params))
-            if len(self._step_cache) > 4:
-                self._step_cache.clear()
-            self._step_cache[key] = cached
-        self.step, self.params = cached
+        if self.source is not None:
+            # per-quantum-shape jitted steps are built lazily in work()
+            # (t is static per trace); cache the composed cores/params
+            ckey = ("src-cores", self._epochs)
+            cached = self._step_cache.get(ckey)
+            if cached is None:
+                cores: List = []
+                params: List = []
+                for u, core in zip(units, fresh_cores):
+                    if u[0] == "pair":
+                        step, p = self._build_pair_core(u[1], u[2])
+                        cores.append(step)
+                        params.append(p)
+                    else:
+                        cores.append(core)
+                        params.append(())
+                cached = (cores, tuple(params))
+                self._step_cache[ckey] = cached
+            self._tail_cores, self._tail_params = cached
+        else:
+            key = (self._epochs, _carry_sig(self.carries))
+            cached = self._step_cache.get(key)
+            if cached is None:
+                cores: List = []
+                params: List = []
+                for u, core in zip(units, fresh_cores):
+                    if u[0] == "pair":
+                        step, p = self._build_pair_core(u[1], u[2])
+                        cores.append(step)
+                        params.append(p)
+                    else:
+                        cores.append(core)
+                        params.append(())
+                cached = (_chain_step(cores), tuple(params))
+                if len(self._step_cache) > 16:
+                    self._step_cache.clear()
+                self._step_cache[key] = cached
+            self.step, self.params = cached
         self.engaged = True
         self.engage_count += 1
         return True
@@ -459,6 +547,10 @@ class FusedSegment:
         self.carries = None
         self.params = None
         self._imports = None
+        self._source_step = None
+        self._source_params = None
+        self._tail_cores = None
+        self._tail_params = None
 
     # ------------------------------------------------------------------ #
     def _bucket(self, n: int) -> int:
@@ -490,6 +582,9 @@ class FusedSegment:
 
     def work(self) -> None:
         if not self.engaged:
+            return
+        if self.source is not None:
+            self._work_source()
             return
         port = self.head
         if port._messages or self._epoch_sig() != self._epochs:
@@ -527,5 +622,33 @@ class FusedSegment:
             return
         x = self._pull(q)
         y, self.carries = self.step(x, self.carries, self.params)
+        self.tail_out.post(DeviceChunk(y, self.tail_dtype))
+        self.fused_elements += q
+
+    def _work_source(self) -> None:
+        """One fused quantum of a source-headed segment: generate q
+        elements ON DEVICE and run them through the chain in the same
+        jitted program (no head port, no pull, no H2D)."""
+        if self._epoch_sig() != self._epochs:
+            self.disengage()
+            return
+        src = self.source
+        avail = src._source_quota
+        free = self.tail_out.free_space()
+        cap = avail if free is None else min(avail, max(free, 0))
+        q = self._bucket(cap)
+        if q == 0:
+            return
+        key = (self._epochs, _carry_sig(self.carries), q)
+        step = self._step_cache.get(key)
+        if step is None:
+            step = _source_chain_step(self._source_step,
+                                      self._tail_cores, q)
+            if len(self._step_cache) > 16:
+                self._step_cache.clear()
+            self._step_cache[key] = step
+        params = (self._source_params,) + tuple(self._tail_params)
+        y, self.carries = step(self.carries, params)
+        src._source_quota = max(0, src._source_quota - q)
         self.tail_out.post(DeviceChunk(y, self.tail_dtype))
         self.fused_elements += q

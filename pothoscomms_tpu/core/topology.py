@@ -158,7 +158,7 @@ class Topology:
                     # engagement checked at the head's schedule slot so
                     # a fresh backlog goes fused in the same round
                     if (not seg.engaged and self.fuse_threshold is not None
-                            and seg.head.elements() >= self.fuse_threshold):
+                            and seg.backlog() >= self.fuse_threshold):
                         seg.try_engage()
                     if seg.engaged:
                         t0 = time.perf_counter()
@@ -170,7 +170,7 @@ class Topology:
                             # label-limited), so fall through and let
                             # the head stream the labeled region now.
                             if (self.fuse_threshold is not None
-                                    and seg.head.elements()
+                                    and seg.backlog()
                                     >= self.fuse_threshold):
                                 seg.try_engage()
                             if seg.engaged:
@@ -202,7 +202,7 @@ class Topology:
         progressed = self._state_fingerprint() != before
         if not progressed:
             for seg in self._segments:
-                if seg.engaged and seg.head.elements() > 0:
+                if seg.engaged and seg.backlog() > 0:
                     # stream drained below one quantum: fold state back
                     # so the streaming path finishes the remainder. A
                     # segment whose head is EMPTY stays engaged across

@@ -486,3 +486,60 @@ def test_sync_search_tiled_matches_monolithic():
         np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
     finally:
         fops._CORR_TILE = old_tile
+
+
+def test_sync_automaton_event_driven_matches_scalar():
+    """Differential: the event-driven acceptance walk must be exactly
+    equivalent to the reference-shaped per-offset loop across random
+    arrays, thresholds, streaming state carry, and decode outcomes."""
+    import copy
+
+    from pothoscomms_tpu.blocks.framing import (
+        new_sync_state,
+        run_sync_automaton,
+        run_sync_automaton_scalar,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(200):
+        n = int(rng.integers(1, 400))
+        mag_thresh = int(rng.integers(1, 30))
+        dur_thresh = int(rng.integers(1, 12))
+        # mostly-subthreshold peaks with occasional spikes (realistic)
+        cp = rng.integers(0, mag_thresh, n)
+        spikes = rng.integers(0, n, max(1, n // 20))
+        cp[spikes] = rng.integers(0, 3 * mag_thresh, len(spikes))
+        arrays = (
+            rng.normal(size=n),      # scale
+            rng.normal(size=n),      # delta_fc
+            rng.normal(size=n),      # phase_off
+            cp,                      # corr_peak
+        )
+        s1 = new_sync_state()
+        s2 = new_sync_state()
+        # randomized carried-over state (streaming across work calls)
+        if trial % 3 == 0:
+            s1["max_corr_peak"] = s2["max_corr_peak"] = int(
+                rng.integers(0, 2 * mag_thresh))
+            s1["count_since_max"] = s2["count_since_max"] = int(
+                rng.integers(0, 2 * dur_thresh))
+        mode = trial % 4  # decode: never / always / every 2nd / every 3rd
+
+        def mk_decode(calls):
+            def try_decode(fo, state):
+                calls.append((fo, copy.deepcopy(state)))
+                if mode == 0:
+                    return None
+                if mode == 1 or len(calls) % (mode + 1) == 0:
+                    return ("hit", fo)
+                return None
+            return try_decode
+
+        c1, c2 = [], []
+        r1 = run_sync_automaton_scalar(s1, arrays, mag_thresh, dur_thresh,
+                                       mk_decode(c1))
+        r2 = run_sync_automaton(s2, arrays, mag_thresh, dur_thresh,
+                                mk_decode(c2))
+        assert r1 == r2, (trial, r1, r2)
+        assert c1 == c2, (trial, c1, c2)
+        assert s1 == s2, (trial, s1, s2)
