@@ -33,13 +33,7 @@ from pothoscomms_tpu.core.labels import Label
 from pothoscomms_tpu.core.packet import Packet
 
 
-def _np_concat(parts: List[np.ndarray]) -> np.ndarray:
-    if len(parts) == 1:
-        return parts[0]
-    # np.concatenate materializes DeviceChunks via __array__ — correct,
-    # host-side. Device-resident consumers (fused segments) avoid this
-    # by draining parts with InputPort.take() instead of buffer().
-    return np.concatenate(parts, axis=0)
+_SCRATCH_MIN = 1 << 12  # floor capacity for the per-port scratch
 
 
 # Default per-edge queue bound. The reference bounds every edge with a
@@ -67,11 +61,31 @@ def default_edge_capacity(dtype: Optional[DType]) -> int:
 
 
 class InputPort:
+    """Typed input queue.
+
+    Data layout: a contiguous ``_scratch`` array holding the (already
+    materialized) front of the queue as the live region
+    ``[_s_start, _s_end)``, followed by ``_parts`` — parts pushed since
+    the last ``buffer()`` call, kept un-copied (and un-materialized for
+    DeviceChunks, which only ``take()`` should ever touch). ``buffer()``
+    appends pending parts into the scratch tail with capacity doubling,
+    so repeated buffer()/consume() cycles cost amortized O(1) copies per
+    element instead of re-concatenating the whole queue per work call —
+    the equivalent of the reference's circular input buffer managers
+    (filter/FIRFilter.cpp:196-199). Reallocation always allocates fresh
+    (never memmoves in place) so views handed out by earlier buffer()/
+    take() calls stay valid.
+    """
+
     def __init__(self, block: "Block", name: str, dtype: Optional[DType]):
         self.block = block
         self.name = name
         self.dtype = DType.parse(dtype) if dtype is not None else None
         self._parts: List[np.ndarray] = []
+        self._scratch: Optional[np.ndarray] = None
+        self._s_start = 0
+        self._s_end = 0
+        self.copied_elements = 0  # physical copy volume (observability)
         self._elements = 0
         self.labels: List[Label] = []
         self._messages: collections.deque = collections.deque()
@@ -88,31 +102,88 @@ class InputPort:
     def elements(self) -> int:
         return self._elements
 
+    def _scratch_live(self) -> int:
+        return self._s_end - self._s_start
+
+    def _reserve_tail(self, k: int, suffix, np_dtype) -> bool:
+        """Ensure the scratch can absorb k more rows at its tail.
+        Returns False when the pending data is layout-incompatible with
+        the live region (caller falls back to a promoting concat)."""
+        sc = self._scratch
+        live = self._scratch_live()
+        if sc is not None and live and (sc.dtype != np_dtype
+                                        or sc.shape[1:] != tuple(suffix)):
+            return False
+        if (sc is None or sc.dtype != np_dtype
+                or sc.shape[1:] != tuple(suffix)
+                or self._s_end + k > sc.shape[0]):
+            cap = _SCRATCH_MIN
+            while cap < 2 * (live + k):
+                cap *= 2
+            new = np.empty((cap,) + tuple(suffix), np_dtype)
+            if live:
+                new[:live] = sc[self._s_start:self._s_end]
+                self.copied_elements += live
+            self._scratch = new
+            self._s_start, self._s_end = 0, live
+        return True
+
     def buffer(self, n: Optional[int] = None) -> np.ndarray:
         """A contiguous view of the first ``n`` (default: all) queued
-        elements. Does not consume."""
-        if not self._parts:
-            shape = (0,) + (self.dtype.storage_shape_suffix if self.dtype else ())
+        elements. Does not consume. This is the HOST path: pending
+        DeviceChunk parts are materialized here (device consumers drain
+        with take() instead)."""
+        if self._parts:
+            mats = [np.asarray(p) for p in self._parts]
+            self._parts = []
+            ok = True
+            for a in mats:
+                if not self._reserve_tail(int(a.shape[0]), a.shape[1:],
+                                          a.dtype):
+                    ok = False
+                    break
+                k = int(a.shape[0])
+                self._scratch[self._s_end:self._s_end + k] = a
+                self._s_end += k
+                self.copied_elements += k
+            if not ok:
+                # layout-mismatched parts (pathological): one promoting
+                # concat of everything, which becomes the new scratch
+                live = self._scratch[self._s_start:self._s_end] \
+                    if self._scratch_live() else None
+                pieces = ([live] if live is not None else []) + mats
+                combined = np.concatenate(pieces, axis=0) \
+                    if len(pieces) > 1 else pieces[0]
+                self.copied_elements += int(combined.shape[0])
+                self._scratch = combined
+                self._s_start, self._s_end = 0, int(combined.shape[0])
+        if not self._scratch_live():
+            shape = (0,) + (self.dtype.storage_shape_suffix
+                            if self.dtype else ())
             base = self.dtype.np if self.dtype else np.float32
             return np.zeros(shape, dtype=base)
-        if len(self._parts) > 1:
-            self._parts = [_np_concat(self._parts)]
-        buf = self._parts[0]
-        if not isinstance(buf, np.ndarray):
-            # a single queued DeviceChunk: buffer() is the HOST path —
-            # legacy blocks hand its result straight to jitted numpy
-            # kernels, which reject DeviceChunk. Materialize once and
-            # keep the numpy copy queued (device consumers use take()).
-            buf = np.asarray(buf)
-            self._parts[0] = buf
+        buf = self._scratch[self._s_start:self._s_end]
         return buf if n is None else buf[:n]
 
     def consume(self, n: int) -> None:
         if n == 0:
             return
         assert n <= self._elements, f"consume({n}) > available {self._elements}"
-        buf = self.buffer()
-        self._parts = [buf[n:]] if n < self._elements else []
+        in_scratch = self._scratch_live()
+        if n <= in_scratch:
+            self._s_start += n
+        else:
+            need = n - in_scratch
+            self._s_start = self._s_end
+            while need:
+                p = self._parts[0]
+                ln = int(p.shape[0])
+                if ln <= need:
+                    self._parts.pop(0)
+                    need -= ln
+                else:
+                    self._parts[0] = p[need:]
+                    need = 0
         self._elements -= n
         self._account_consume(n)
 
@@ -135,6 +206,12 @@ class InputPort:
         assert n <= self._elements, f"take({n}) > available {self._elements}"
         out: List = []
         need = n
+        in_scratch = self._scratch_live()
+        if in_scratch and need:
+            k = min(in_scratch, need)
+            out.append(self._scratch[self._s_start:self._s_start + k])
+            self._s_start += k
+            need -= k
         while need:
             p = self._parts[0]
             ln = int(p.shape[0])
@@ -158,7 +235,7 @@ class InputPort:
         assert all(lb.index < keep for lb in self.labels)
         out: List = []
         excess = self._elements - keep
-        while excess:
+        while excess and self._parts:
             p = self._parts[-1]
             ln = int(p.shape[0])
             if ln <= excess:
@@ -168,6 +245,14 @@ class InputPort:
                 self._parts[-1] = p[: ln - excess]
                 out.insert(0, p[ln - excess:])
                 excess = 0
+        if excess:
+            # tail reaches into the scratch live region: COPY it out —
+            # future appends write past the shortened end and would
+            # clobber a view
+            cut = self._s_end - excess
+            out.insert(0, self._scratch[cut:self._s_end].copy())
+            self.copied_elements += excess
+            self._s_end = cut
         self._elements = keep
         return out
 
@@ -179,6 +264,13 @@ class InputPort:
         n = int(arr.shape[0])
         if n == 0:
             return
+        live = self._scratch_live()
+        if live:
+            # demote the scratch live region to a pending part behind
+            # the restored history (fresh scratch on next buffer())
+            self._parts.insert(0, self._scratch[self._s_start:self._s_end])
+            self._scratch = None
+            self._s_start = self._s_end = 0
         self._parts.insert(0, arr)
         self._elements += n
         self.labels = [lb.shifted(n) for lb in self.labels]

@@ -200,3 +200,31 @@ def test_backpressure_message_queue_bound():
         max_q = max(max_q, len(sink.input(0)._messages))
     assert sink.got == 500
     assert max_q <= 17, max_q
+
+
+def test_input_queue_amortized_copies():
+    """VERDICT r3 #8: repeated buffer()/consume() cycles over a stream of
+    small parts must cost amortized O(1) copies per element, not
+    re-concatenate the whole queue each work call."""
+    from pothoscomms_tpu.core.block import Block, InputPort
+
+    blk = Block("probe")
+    port = blk.setup_input(0, "float32")
+    part = np.arange(256, dtype=np.float32)
+    total = 0
+    # steady-state streaming: push a small part, peek, consume half —
+    # the queue depth stays bounded while data flows through
+    for i in range(2000):
+        port.push_buffer(part + i)
+        total += 256
+        buf = port.buffer()
+        port.consume(128)
+    # legacy behavior re-copied the whole queue per cycle:
+    # sum_{i} (queue depth ~ 128*i) = O(n^2) ~ 2000*128*2000/2 >> 10x
+    assert port.copied_elements < 8 * total, (
+        f"copied {port.copied_elements} for {total} streamed elements")
+    # correctness: FIFO content preserved (2000*128 consumed = exactly
+    # the first 1000 pushed parts)
+    got = port.buffer()
+    assert got.shape[0] == port.elements() == total - 2000 * 128
+    np.testing.assert_array_equal(got[:256], part + 1000)
