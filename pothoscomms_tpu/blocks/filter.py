@@ -418,11 +418,21 @@ class IIRFilter(Block):
         port.consume(n)
         self.output(0).post(out)
 
+    # block lengths tried (largest dividing the quantum wins); each is
+    # a one-time host precompute + ~L^2 f32 closure constant
+    _BLOCK_LS = (256, 128, 64, 32)
+
     def device_core(self, channels: int):
-        """Fused-chain core: DF-II transposed IIR, float32, scan over
-        time with vectorized [order, C(, 2)] state."""
-        b = jnp.asarray(self._b / self._a[0], jnp.float32)
-        a = jnp.asarray(self._a / self._a[0], jnp.float32)
+        """Fused-chain core: blocked state-space IIR over planar f32 —
+        two MXU matmuls + an associative scan over T/L block states, no
+        per-sample sequential dependency (ops/filter.py
+        iir_blocked_operators; exact reformulation of DF-II-T). Falls
+        back to the per-sample lax.scan only when no block length
+        divides the quantum (non-power-of-two FFT granule upstream)."""
+        bq = self._b / self._a[0]
+        aq = self._a / self._a[0]
+        b = jnp.asarray(bq, jnp.float32)
+        a = jnp.asarray(aq, jnp.float32)
         order = max(self._b.size, self._a.size) - 1
         order = max(order, 1)
         nb, na = self._b.size, self._a.size
@@ -432,8 +442,18 @@ class IIRFilter(Block):
         shape = (order, channels, 2) if is_cplx else (order, channels)
         carry0 = jnp.zeros(shape, jnp.float32)
 
-        def step(carry, x):
-            # x: [C, T(, 2)] -> scan over time
+        ops_cache: dict = {}
+
+        def get_ops(L):  # trace-time (t static per compiled shape)
+            # cache NUMPY constants: a jnp array created during one jit
+            # trace is a tracer and must not leak into another trace
+            if L not in ops_cache:
+                ops_cache[L] = tuple(
+                    m.astype(np.float32)
+                    for m in fops.iir_blocked_operators(bq, aq, L))
+            return ops_cache[L]
+
+        def seq_step(carry, x):
             xt = jnp.moveaxis(x, 1, 0)  # [T, C(, 2)]
 
             def body(z, xn):
@@ -447,6 +467,31 @@ class IIRFilter(Block):
 
             z_f, yt = jax.lax.scan(body, carry, xt)
             return z_f, jnp.moveaxis(yt, 0, 1)
+
+        def step(carry, x):
+            t = x.shape[1]
+            L = next((c for c in self._BLOCK_LS if t % c == 0 and t >= c),
+                     None)
+            if L is None:
+                return seq_step(carry, x)
+            H, Wz, M, G = get_ops(L)
+            C = x.shape[0]
+            if is_cplx:
+                # planes ordered (c0re, c0im, c1re, ...) — row-major
+                # over the trailing (re, im) axis in both x and carry
+                xp = jnp.moveaxis(x, 2, 1).reshape(C * 2, t)
+                z0 = carry.reshape(order, C * 2)
+            else:
+                xp = x
+                z0 = carry
+            yp, zf = fops.iir_blocked_step(xp, z0, H, Wz, M, G, L)
+            if is_cplx:
+                y = jnp.moveaxis(yp.reshape(C, 2, t), 1, 2)
+                znew = zf.reshape(order, C, 2)
+            else:
+                y = yp
+                znew = zf
+            return znew, y
 
         return carry0, step
 

@@ -179,6 +179,81 @@ def iir_df(x, b, a, z0):
     return y, z_final
 
 
+def iir_blocked_operators(b: np.ndarray, a: np.ndarray, L: int):
+    """Blocked state-space operators for the TPU-parallel IIR core
+    (SURVEY.md hard-part #2: sequential recursions as blocked /
+    associative-scan formulations).
+
+    The DF-II-T recursion is linear: z_{n+1} = A z_n + g x_n,
+    y_n = z_n[0] + b0 x_n, with
+      A[i, 0] = -a[i+1], A[i, i+1] = 1;  g[i] = b[i+1] - a[i+1] b0.
+    Over a block of L samples this is EXACT linear algebra (no
+    approximation — only f32 rounding at use):
+      y_block = Wz @ z_k + Hmat @ x_block         (per-block, parallel)
+      z_{k+1} = M z_k + G @ x_block               (block recurrence)
+    where h[0] = b0, h[d] = (A^{d-1} g)[0] (truncated impulse
+    response), Hmat[j, m] = h[j-m] (lower-triangular Toeplitz),
+    Wz[j] = (A^j)[0, :], M = A^L, G[:, j] = A^{L-1-j} g. The remaining
+    block recurrence has CONSTANT M, so it runs as a parallel
+    ``lax.associative_scan`` — nothing in the core is per-sample
+    sequential. All operators computed here in float64.
+
+    Returns (Hmat [L, L], Wz [L, O], M [O, O], G [O, L]) as float64.
+    """
+    b = np.asarray(b, np.float64)
+    a = np.asarray(a, np.float64)
+    order = max(len(b), len(a)) - 1
+    order = max(order, 1)
+    bp = np.zeros(order + 1)
+    bp[: len(b)] = b
+    ap = np.zeros(order + 1)
+    ap[: len(a)] = a
+    A = np.zeros((order, order))
+    A[:, 0] = -ap[1:]
+    if order > 1:
+        A[: order - 1, 1:] += np.eye(order - 1)
+    g = bp[1:] - ap[1:] * bp[0]
+    pw = [np.eye(order)]
+    for _ in range(L):
+        pw.append(A @ pw[-1])
+    h = np.zeros(L)
+    h[0] = bp[0]
+    for d in range(1, L):
+        h[d] = (pw[d - 1] @ g)[0]
+    Hmat = np.zeros((L, L))
+    for j in range(L):
+        Hmat[j, : j + 1] = h[: j + 1][::-1]
+    Wz = np.stack([pw[j][0, :] for j in range(L)])
+    M = pw[L]
+    G = np.stack([pw[L - 1 - j] @ g for j in range(L)], axis=1)
+    return Hmat, Wz, M, G
+
+
+def iir_blocked_step(xp, z0, Hmat, Wz, M, G, L: int):
+    """One blocked-IIR quantum: xp [P, T] planes (T % L == 0), z0
+    [O, P] state -> (y [P, T], z_final [O, P]). Fully parallel: two
+    MXU matmuls + one associative scan over T/L blocks."""
+    P, t = xp.shape
+    order = z0.shape[0]
+    nb = t // L
+    xb = xp.reshape(P, nb, L)
+    u = jnp.einsum("pnl,ol->nop", xb, G)  # [nb, O, P]
+    Mt = jnp.broadcast_to(M, (nb, order, order))
+
+    def comb(ea, eb):
+        Pa, va = ea
+        Pb, vb = eb
+        return (jnp.einsum("kij,kjl->kil", Pb, Pa),
+                jnp.einsum("kij,kjp->kip", Pb, va) + vb)
+
+    Cc, w = jax.lax.associative_scan(comb, (Mt, u), axis=0)
+    z_next = jnp.einsum("kij,jp->kip", Cc, z0) + w  # z_{k+1}, k=0..nb-1
+    zs = jnp.concatenate([z0[None], z_next[:-1]], axis=0)  # z_k per block
+    y = (jnp.einsum("jo,kop->pkj", Wz, zs)
+         + jnp.einsum("jm,pkm->pkj", Hmat, xb))
+    return y.reshape(P, t), z_next[-1]
+
+
 # ---------------------------------------------------------------------- #
 # Moving average cascade / DC removal
 # ---------------------------------------------------------------------- #

@@ -820,3 +820,63 @@ def test_window_designer_validation():
     d._active = True
     with pytest.raises(ValueError):
         d.set_window_type("bogus")
+
+
+def test_iir_blocked_core_matches_sequential():
+    """The blocked state-space IIR core (associative scan, VERDICT r3
+    next #4) must match the per-sample sequential scan exactly (f32
+    tolerance), real and complex, across block-ladder quantum sizes."""
+    import jax.numpy as jnp
+    from pothoscomms_tpu.core.registry import BlockRegistry
+
+    rng = np.random.default_rng(9)
+    # a stable biquad (the block's default butterworth-ish taps)
+    taps = [0.0676, 0.135, 0.0676, 1, -1.142, 0.412]
+    for dtype, is_cplx in (("float32", False), ("complex_float32", True)):
+        blk = BlockRegistry.make("/comms/iir_filter", dtype)
+        blk.set_taps(taps)
+        carry0, step = blk.device_core(1)
+        for t in (1024, 4096, 96):  # 96: BLOCK_LS=32 path
+            if is_cplx:
+                x = jnp.asarray(
+                    rng.normal(size=(1, t, 2)).astype(np.float32))
+            else:
+                x = jnp.asarray(rng.normal(size=(1, t)).astype(np.float32))
+            z_blocked, y_blocked = step(carry0, x)
+            # sequential oracle: force the fallback with t that no block
+            # divides is hard to arrange for pow2 t; instead run the f64
+            # streaming oracle via iir_df per plane
+            from pothoscomms_tpu.ops.filter import iir_df
+
+            b = np.asarray(taps[:3]) / taps[3]
+            a = np.asarray(taps[3:]) / taps[3]
+            xn = np.asarray(x)
+            if is_cplx:
+                xc = xn[0, :, 0] + 1j * xn[0, :, 1]
+                y_ref, z_ref = iir_df(jnp.asarray(xc), jnp.asarray(b),
+                                      jnp.asarray(a),
+                                      jnp.zeros(2, jnp.complex128))
+                y_ref = np.stack([np.asarray(y_ref).real,
+                                  np.asarray(y_ref).imag], -1)[None]
+            else:
+                y_ref, z_ref = iir_df(jnp.asarray(xn[0]), jnp.asarray(b),
+                                      jnp.asarray(a),
+                                      jnp.zeros(2, jnp.float64))
+                y_ref = np.asarray(y_ref)[None]
+            np.testing.assert_allclose(np.asarray(y_blocked), y_ref,
+                                       atol=2e-4, err_msg=f"{dtype} t={t}")
+            # state continuity: second quantum picks up where the first
+            # ended
+            z2, y2 = step(z_blocked, x)
+            if is_cplx:
+                xc = xn[0, :, 0] + 1j * xn[0, :, 1]
+                y2_ref, _ = iir_df(jnp.asarray(xc), jnp.asarray(b),
+                                   jnp.asarray(a), z_ref)
+                y2_ref = np.stack([np.asarray(y2_ref).real,
+                                   np.asarray(y2_ref).imag], -1)[None]
+            else:
+                y2_ref, _ = iir_df(jnp.asarray(xn[0]), jnp.asarray(b),
+                                   jnp.asarray(a), z_ref)
+                y2_ref = np.asarray(y2_ref)[None]
+            np.testing.assert_allclose(np.asarray(y2), y2_ref, atol=2e-4,
+                                       err_msg=f"{dtype} t={t} q2")
