@@ -384,6 +384,28 @@ def _make_lfsr(polynomial: int, seed: int):
 
 
 class _ScramblerBase(Block):
+    DOC = {
+        "category": "/Digital",
+        "keywords": ["scrambler", "lfsr", "whitening"],
+        "params": {
+            "poly": {"label": "Polynomial", "default": 1,
+                     "widget": "LineEdit",
+                     "desc": "Galois LFSR generator polynomial."},
+            "seed": {"label": "Seed", "default": 1},
+            "mode": {
+                "label": "Mode",
+                "options": [
+                    {"label": "Additive", "value": "additive"},
+                    {"label": "Multiplicative", "value": "multiplicative"},
+                ],
+                "default": "multiplicative",
+            },
+            "sync": {"label": "Sync Word", "default": "",
+                     "desc": "Bit string inserted/detected for "
+                             "additive-mode alignment."},
+        },
+    }
+
     def __init__(self):
         super().__init__()
         self.setup_input(0, DType.parse("uint8"))

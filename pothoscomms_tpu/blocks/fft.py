@@ -55,6 +55,20 @@ class FFTBlock(Block):
     """Forward/inverse complex FFT over numBins-sized windows
     (reference: fft/FFT.cpp)."""
 
+    DOC = {
+        "category": "/FFT",
+        "keywords": ["fft", "dft", "fourier", "transform"],
+        "params": {
+            "num_bins": {"label": "Num FFT Bins", "default": 1024,
+                         "widget": "ComboBox(editable=true)",
+                         "options": [{"label": str(1 << p),
+                                      "value": 1 << p}
+                                     for p in range(4, 13)]},
+            "inverse": {"label": "Inverse FFT", "default": False,
+                        "widget": "ToggleSwitch"},
+        },
+    }
+
     def __init__(self, dtype="complex_float32", num_bins: int = 1024,
                  inverse: bool = False):
         super().__init__()

@@ -39,6 +39,27 @@ class FIRFilter(Block):
     """Rational-resampling FIR with Q-format fixed point, burst flushing,
     and waitTaps gating (reference: filter/FIRFilter.cpp:98-364)."""
 
+    DOC = {
+        "category": "/Filter",
+        "keywords": ["fir", "filter", "taps", "resampler", "decimate",
+                     "interpolate"],
+        "params": {
+            "taps": {"label": "Taps", "default": [1.0],
+                     "desc": "FIR filter taps (set directly or wire a "
+                             "designer's tapsChanged signal)."},
+            "decimation": {"label": "Decimation", "default": 1,
+                           "widget": "SpinBox(minimum=1)"},
+            "interpolation": {"label": "Interpolation", "default": 1,
+                              "widget": "SpinBox(minimum=1)"},
+            "wait_taps": {"label": "Wait Taps", "default": False,
+                          "widget": "ToggleSwitch",
+                          "desc": "Defer work until setTaps is called."},
+            "frame_start_id": {"label": "Frame Start ID", "default": "",
+                               "desc": "Burst-mode frameStart label."},
+            "frame_end_id": {"label": "Frame End ID", "default": ""},
+        },
+    }
+
     def __init__(self, dtype="complex_float32", taps_type: str = "REAL"):
         super().__init__()
         self.dtype = DType.parse(dtype)
@@ -766,6 +787,124 @@ class EnvelopeDetector(Block):
 # ---------------------------------------------------------------------- #
 @register_block("/comms/fir_designer", "/blocks/fir_designer")
 class FIRDesigner(Block):
+    # Docs-plane schema: field parity with the reference's |PothosDoc
+    # header (filter/FIRDesigner.cpp:20-137) — labels, option enums,
+    # defaults, units, widget and preview rules, consumed by
+    # core/introspect.block_doc/catalog.
+    DOC = {
+        "category": "/Filter",
+        "keywords": ["fir", "filter", "taps", "highpass", "lowpass",
+                     "bandpass", "remez"],
+        "params": {
+            "filter_type": {
+                "label": "Filter Type",
+                "desc": "The type of filter taps to generate.",
+                "options": [
+                    {"label": "Root Raised Cosine",
+                     "value": "ROOT_RAISED_COSINE"},
+                    {"label": "Raised Cosine", "value": "RAISED_COSINE"},
+                    {"label": "Box-Car", "value": "SINC"},
+                    {"label": "Maxflat", "value": "MAXFLAT"},
+                    {"label": "Gaussian", "value": "GAUSSIAN"},
+                    {"label": "Remez", "value": "REMEZ"},
+                ],
+                "default": "SINC",
+            },
+            "band_type": {
+                "label": "Band Type",
+                "desc": "The band type of filter",
+                "options": [
+                    {"label": "Low Pass", "value": "LOW_PASS"},
+                    {"label": "High Pass", "value": "HIGH_PASS"},
+                    {"label": "Band Pass", "value": "BAND_PASS"},
+                    {"label": "Band Stop", "value": "BAND_STOP"},
+                    {"label": "Complex Band Pass",
+                     "value": "COMPLEX_BAND_PASS"},
+                    {"label": "Complex Band Stop",
+                     "value": "COMPLEX_BAND_STOP"},
+                ],
+            },
+            "window_type": {
+                "label": "Window Type",
+                "desc": "The window function controls passband ripple.",
+                "default": "hann",
+                "options": [
+                    {"label": "Rectangular", "value": "rectangular"},
+                    {"label": "Hann", "value": "hann"},
+                    {"label": "Hamming", "value": "hamming"},
+                    {"label": "Blackman", "value": "blackman"},
+                    {"label": "Bartlett", "value": "bartlett"},
+                    {"label": "Flat-top", "value": "flattop"},
+                    {"label": "Kaiser", "value": "kaiser"},
+                    {"label": "Chebyshev", "value": "chebyshev"},
+                ],
+                "tab": "Window",
+            },
+            "window_args": {
+                "label": "Window Args",
+                "desc": "Optional window arguments (Kaiser: [beta]; "
+                        "Chebyshev: [atten dB]).",
+                "default": [],
+                "preview": "valid",
+                "tab": "Window",
+            },
+            "gain": {"label": "Gain", "desc": "The filter gain.",
+                     "default": 1.0},
+            "sample_rate": {
+                "label": "Sample Rate",
+                "desc": "The sample rate, in samples per second.",
+                "default": 1e6, "units": "Sps",
+            },
+            "frequency_lower": {
+                "label": "Lower Freq",
+                "desc": "The lower transition frequency.",
+                "default": 1000, "units": "Hz",
+            },
+            "frequency_upper": {
+                "label": "Upper Freq",
+                "desc": "The upper transition frequency (band filters).",
+                "default": 2000, "units": "Hz",
+                "preview": 'when(enum=band_type, "BAND_PASS", "BAND_STOP",'
+                           ' "COMPLEX_BAND_PASS", "COMPLEX_BAND_STOP")',
+            },
+            "bandwidth_trans": {
+                "label": "Transition Width",
+                "desc": "The transition bandwidth for Remez filters.",
+                "default": 1000, "units": "Hz",
+                "preview": 'when(enum=filter_type, "REMEZ")',
+                "tab": "Remez",
+            },
+            "num_taps": {
+                "label": "Num Taps",
+                "desc": "The number of filter taps.",
+                "default": 51, "widget": "SpinBox(minimum=1)",
+            },
+            "alpha": {
+                "label": "Alpha",
+                "desc": "Excess bandwidth factor for (root-)raised "
+                        "cosine, 0.0 to 1.0.",
+                "default": 0.5,
+                "preview": 'when(enum=filter_type, "RAISED_COSINE", '
+                           '"ROOT_RAISED_COSINE")',
+                "tab": "Cosine",
+            },
+            "stop_db": {
+                "label": "Attenuation",
+                "desc": "Desired Remez stopband attenuation.",
+                "default": 60.0, "units": "dB",
+                "preview": 'when(enum=filter_type, "REMEZ")',
+                "tab": "Remez",
+            },
+            "pass_db": {
+                "label": "Passband Ripple",
+                "desc": "Desired Remez passband ripple.",
+                "default": 0.1, "units": "dB",
+                "preview": 'when(enum=filter_type, "REMEZ")',
+                "tab": "Remez",
+            },
+        },
+    }
+
     def __init__(self):
         super().__init__()
         self._filter_type = "GAUSSIAN"
@@ -982,6 +1121,45 @@ class FIRDesigner(Block):
 # ---------------------------------------------------------------------- #
 @register_block("/comms/iir_designer")
 class IIRDesigner(Block):
+    DOC = {
+        "category": "/Filter",
+        "keywords": ["iir", "filter", "taps", "butterworth", "elliptic"],
+        "params": {
+            "iir_type": {
+                "label": "IIR Type",
+                "options": [
+                    {"label": "Butterworth", "value": "butterworth"},
+                    {"label": "Chebyshev I", "value": "chebyshev"},
+                    {"label": "Chebyshev II", "value": "chebyshev2"},
+                    {"label": "Elliptic", "value": "elliptic"},
+                ],
+                "default": "butterworth",
+            },
+            "filter_type": {
+                "label": "Band Type",
+                "options": [
+                    {"label": "Low Pass", "value": "LOW_PASS"},
+                    {"label": "High Pass", "value": "HIGH_PASS"},
+                    {"label": "Band Pass", "value": "BAND_PASS"},
+                    {"label": "Band Stop", "value": "BAND_STOP"},
+                ],
+                "default": "LOW_PASS",
+            },
+            "sample_rate": {"label": "Sample Rate", "units": "Sps",
+                            "default": 1.0},
+            "frequency_lower": {"label": "Lower Freq", "units": "Hz",
+                                "default": 0.1},
+            "frequency_upper": {"label": "Upper Freq", "units": "Hz",
+                                "default": 0.2},
+            "order": {"label": "Order", "default": 2,
+                      "widget": "SpinBox(minimum=1)"},
+            "stop_atten": {"label": "Stop Attenuation", "units": "dB",
+                           "default": 60.0},
+            "ripple": {"label": "Passband Ripple", "units": "dB",
+                       "default": 0.1},
+        },
+    }
+
     def __init__(self):
         super().__init__()
         self._filter_type = "LOW_PASS"

@@ -600,6 +600,40 @@ class FrameSync(Block):
     """RX frame synchronizer. See module docstring for the TPU-first
     restructuring; numerics follow FrameSync.cpp:595-743."""
 
+    DOC = {
+        "category": "/Digital",
+        "keywords": ["preamble", "frame", "sync", "timing", "recovery"],
+        "params": {
+            "output_mode": {
+                "label": "Output Mode",
+                "options": [
+                    {"label": "Raw", "value": "RAW"},
+                    {"label": "Phase Correction", "value": "PHASE"},
+                    {"label": "Timing Recovery", "value": "TIMING"},
+                    {"label": "Debug", "value": "DEBUG"},
+                ],
+                "default": "RAW",
+            },
+            "preamble": {"label": "Preamble", "default": [1]},
+            "header_id": {"label": "Header ID", "default": 0x55},
+            "symbol_width": {"label": "Symbol Width", "default": 20,
+                             "units": "samples",
+                             "widget": "SpinBox(minimum=1)"},
+            "data_width": {"label": "Data Width", "default": 4,
+                           "units": "samples",
+                           "widget": "SpinBox(minimum=2)"},
+            "frame_start_id": {"label": "Frame Start ID",
+                               "default": "frameStart"},
+            "frame_end_id": {"label": "Frame End ID", "default": ""},
+            "phase_offset_id": {"label": "Phase Offset ID",
+                                "default": ""},
+            "input_threshold": {"label": "Input Threshold",
+                                "default": 0.01,
+                                "desc": "Activity level below which the "
+                                        "search is skipped."},
+        },
+    }
+
     def __init__(self, dtype="complex_float32"):
         super().__init__()
         self.dtype = DType.parse(dtype)

@@ -307,6 +307,18 @@ def scale_factory(dtype):
 
 
 class Scale(Block):
+    DOC = {
+        "category": "/Math",
+        "keywords": ["scale", "multiply", "gain"],
+        "params": {
+            "factor": {"label": "Factor", "default": 0.0},
+            "label_id": {"label": "Label ID", "default": "",
+                         "preview": "valid",
+                         "desc": "Label ID whose data sets the factor "
+                                 "sample-accurately mid-stream."},
+        },
+    }
+
     def __init__(self, dtype):
         super().__init__()
         self.dtype = DType.parse(dtype)
@@ -403,6 +415,17 @@ def rotate_factory(dtype):
 
 
 class Rotate(Block):
+    DOC = {
+        "category": "/Math",
+        "keywords": ["rotate", "phasor", "multiply"],
+        "params": {
+            "phase": {"label": "Phase", "default": 0.0,
+                      "units": "radians"},
+            "label_id": {"label": "Label ID", "default": "",
+                         "preview": "valid"},
+        },
+    }
+
     def __init__(self, dtype):
         super().__init__()
         self.dtype = DType.parse(dtype)

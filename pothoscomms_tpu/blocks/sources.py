@@ -103,6 +103,29 @@ class WaveformSource(_TableSource):
     WaveformSource.cpp:228,239).
     """
 
+    DOC = {
+        "category": "/Sources",
+        "keywords": ["waveform", "source", "signal", "sine", "ramp"],
+        "params": {
+            "waveform": {
+                "label": "Wave Type",
+                "options": [{"label": w.title(), "value": w} for w in
+                            ("CONST", "SINE", "RAMP", "SQUARE")],
+                "default": "CONST",
+            },
+            "frequency": {"label": "Frequency", "units": "Hz",
+                          "default": 0.0},
+            "sample_rate": {"label": "Sample Rate", "units": "Sps",
+                            "default": 1.0},
+            "resolution": {"label": "Resolution", "units": "Hz",
+                           "default": 0.0,
+                           "desc": "Frequency resolution for table "
+                                   "auto-sizing (0 = from frequency)."},
+            "amplitude": {"label": "Amplitude", "default": [1.0, 0.0]},
+            "offset": {"label": "Offset", "default": [0.0, 0.0]},
+        },
+    }
+
     def __init__(self, dtype="complex_float32"):
         super().__init__(dtype)
         self._index = 0
@@ -264,6 +287,27 @@ class NoiseSource(_TableSource):
     reference uses std::random_device; we default-seed from it too but
     accept a seed).
     """
+
+    DOC = {
+        "category": "/Sources",
+        "keywords": ["noise", "random", "source", "gaussian"],
+        "params": {
+            "waveform": {
+                "label": "Wave Type",
+                "options": [{"label": w.title(), "value": w} for w in
+                            ("UNIFORM", "NORMAL", "LAPLACE", "POISSON")],
+                "default": "NORMAL",
+            },
+            "mean": {"label": "Mean", "default": 0.0},
+            "b": {"label": "B", "default": 1.0,
+                  "desc": "Distribution spread parameter (stddev / "
+                          "half-width / scale)."},
+            "fast": {"label": "Fast Mode", "default": True,
+                     "widget": "ToggleSwitch",
+                     "desc": "Pre-filled pool re-entered at a random "
+                             "offset per work call."},
+        },
+    }
 
     def __init__(self, dtype="complex_float32", seed: Optional[int] = None):
         super().__init__(dtype)

@@ -48,6 +48,25 @@ class SignalProbe(Block):
     samples convert exactly (fromQ with zero shift, :141-157).
     """
 
+    DOC = {
+        "category": "/Utility",
+        "keywords": ["probe", "value", "rms", "mean"],
+        "params": {
+            "mode": {
+                "label": "Mode",
+                "options": [{"label": m.title(), "value": m} for m in
+                            ("VALUE", "RMS", "MEAN")],
+                "default": "VALUE",
+            },
+            "window": {"label": "Window", "default": 1024,
+                       "units": "elements",
+                       "widget": "SpinBox(minimum=1)"},
+            "rate": {"label": "Rate", "default": 0.0, "units": "Hz",
+                     "desc": "Max probe calculation rate (0 = every "
+                             "work call)."},
+        },
+    }
+
     def __init__(self, dtype="float32"):
         super().__init__()
         self.dtype = DType.parse(dtype)
@@ -165,6 +184,20 @@ class Threshold(Block):
     """Hysteresis comparator: posts activation/deactivation labels at
     crossing indices and forwards the stream (reference :117-149)."""
 
+    DOC = {
+        "category": "/Utility",
+        "keywords": ["threshold", "hysteresis", "labels"],
+        "params": {
+            "activation_level": {"label": "Activation Level",
+                                 "default": 0},
+            "deactivation_level": {"label": "Deactivation Level",
+                                   "default": 0},
+            "activation_id": {"label": "Activation ID", "default": ""},
+            "deactivation_id": {"label": "Deactivation ID",
+                                "default": ""},
+        },
+    }
+
     def __init__(self, dtype="float32"):
         super().__init__()
         self.dtype = DType.parse(dtype)
@@ -281,6 +314,43 @@ class WaveTrigger(Block):
     at the trigger point (reference :515-591). The level search itself is
     vectorized (all crossings found in one comparison pass).
     """
+
+    DOC = {
+        "category": "/Utility",
+        "keywords": ["scope", "oscilloscope", "trigger", "plotter"],
+        "params": {
+            "mode": {
+                "label": "Trigger Mode",
+                "options": [{"label": m.title(), "value": m} for m in
+                            ("AUTOMATIC", "SEMIAUTOMATIC", "NORMAL",
+                             "PERIODIC", "DISABLED")],
+                "default": "AUTOMATIC",
+            },
+            "slope": {
+                "label": "Trigger Slope",
+                "options": [
+                    {"label": "Positive", "value": "POS"},
+                    {"label": "Negative", "value": "NEG"},
+                    {"label": "Level", "value": "LEVEL"},
+                ],
+                "default": "POS",
+            },
+            "level": {"label": "Trigger Level", "default": 0.5},
+            "position": {"label": "Position", "default": 128,
+                         "units": "samples"},
+            "hold_off": {"label": "Hold Off", "default": 1024,
+                         "units": "samples"},
+            "num_points": {"label": "Num Points", "default": 1024,
+                           "widget": "SpinBox(minimum=0)"},
+            "num_windows": {"label": "Num Windows", "default": 1},
+            "event_rate": {"label": "Event Rate", "default": 1.0,
+                           "units": "events/sec"},
+            "source": {"label": "Trigger Source", "default": 0},
+            "label_id": {"label": "Trigger Label", "default": ""},
+            "alignment": {"label": "Alignment", "default": True,
+                          "widget": "ToggleSwitch"},
+        },
+    }
 
     def __init__(self):
         super().__init__()

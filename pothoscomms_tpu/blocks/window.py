@@ -15,6 +15,25 @@ from pothoscomms_tpu.design import design_window
 
 @register_block("/comms/window_designer")
 class WindowDesigner(Block):
+    DOC = {
+        "category": "/Filter",
+        "keywords": ["window", "hann", "hamming", "taps"],
+        "params": {
+            "window_type": {
+                "label": "Window Type",
+                "options": [{"label": w.title(), "value": w} for w in
+                            ("rectangular", "hann", "hamming", "blackman",
+                             "bartlett", "flattop", "kaiser",
+                             "chebyshev")],
+                "default": "hann",
+            },
+            "window_args": {"label": "Window Args", "default": [],
+                            "preview": "valid"},
+            "num_taps": {"label": "Num Taps", "default": 51,
+                         "widget": "SpinBox(minimum=1)"},
+        },
+    }
+
     def __init__(self):
         super().__init__()
         self._window_type = "hann"

