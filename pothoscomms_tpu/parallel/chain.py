@@ -228,6 +228,142 @@ def fir_fft_combined_step(x, hist, g0r, g0i, g0s, g1r, g1i, g1s,
 
 
 # ---------------------------------------------------------------------- #
+# Split-stream (radix-R) combined operator — the round-4 formulation.
+#
+# One level of radix-R decimation-in-frequency applied to the FIR
+# OUTPUT, with the stream combines hoisted to the FIR INPUT: because
+# the DIF stream weights W_R^{mr} are scalar constants (not diagonals),
+# they commute with convolution, so
+#
+#     spec[R k' + r] = DFT_W( W_N^{j r} . conv(h, v_r)[j] )[k'],
+#     v_r[j] = sum_m W_R^{m r} x[m W + j],        W = nbins / R,
+#
+# and each stream runs the SAME combined Toeplitz*DFT operator shape as
+# the dense formulation, at width W with a pp >= K-1 "previous tail"
+# pad. Matmul work drops from (nbins + 128) to (W + pp) complex MACs
+# per sample (6x fewer at R=8, nbins=1024, pp=64) while everything
+# stays one XLA program; the elementwise stream/history builds fuse
+# into the matmul operand reads. The carry stays the SAME K-1 raw
+# samples as the dense operator: stream histories decompose as
+#     hist_r[w] = q_tail[w-1, R-1] + sum_{m>=1} W_R^{m r} q_tail[w, m-1]
+# where q_tail[w, m] is the last K-1 samples of quarter m of window w —
+# the m=0 term always has weight 1, so only raw samples cross the
+# quantum boundary.
+#
+# MEASURED OUTCOME (benches/probe_r4_split.py -> SPLIT_r04.json): the
+# formulation is numerically clean (max_abs_err ~1e-3 vs the 0.01
+# contract) but LOSES on this chip — 19/24/37 ms at R=4/8/16 vs 14.9 ms
+# dense: XLA materializes every v_r stream build as a full HBM pass, so
+# each extra stream costs ~a duplex pass (60 GB/s roof,
+# PERF_r04.json) and the saved matmul FLOPs never pay it back. Kept as
+# the minimal-FLOP reference formulation (oracle-tested); production
+# dispatch stays on the dense combined operator.
+# ---------------------------------------------------------------------- #
+def split_stream_fir_fft_operators(taps, nbins: int, R: int, pp: int):
+    """Per-stream (G0 [W, W], G1 [pp, W]) planar operator pairs,
+    G_r = Toeplitz(h) . diag(W_N^{r j}) . F_W, plus the W_R stream
+    weight table. Returns (ops, wr) with ops a length-R list of
+    ((g0r, g0i), (g1r, g1i)) and wr the [R, R] complex weights."""
+    h = np.asarray(taps, np.complex128)
+    k = len(h)
+    W = nbins // R
+    assert k - 1 <= pp <= W
+    t0 = np.zeros((W, W), np.complex128)
+    t1 = np.zeros((pp, W), np.complex128)
+    for d in range(k):
+        for j in range(W):
+            i = j - d
+            if i >= 0:
+                t0[i, j] = h[d]
+            else:
+                t1[pp + i, j] = h[d]
+    f = np.exp(-2j * np.pi * np.outer(np.arange(W), np.arange(W)) / W)
+    pl = lambda z: (jnp.asarray(z.real.astype(np.float32)),
+                    jnp.asarray(z.imag.astype(np.float32)))
+    ops = []
+    for r in range(R):
+        tw = np.exp(-2j * np.pi * r * np.arange(W) / nbins)
+        df = tw[:, None] * f
+        ops.append((pl(t0 @ df), pl(t1 @ df)))
+    wr = np.exp(-2j * np.pi * np.outer(np.arange(R), np.arange(R)) / R)
+    return ops, wr
+
+
+def make_split_step(taps, nbins: int, R: int, pp: int = 64):
+    """Build the jitted split-stream step:
+    (x [C, T, 2], hist [C, K-1, 2]) -> (spec [C, T//nbins, nbins, 2],
+    new_hist). Same carry contract as fir_fft_combined_step."""
+    taps = np.asarray(taps)
+    k = len(taps)
+    W = nbins // R
+    ops, wr = split_stream_fir_fft_operators(taps, nbins, R, pp)
+    # flat param tuple (jit args, not closure constants: big HLO
+    # constants choke the remote compiler)
+    flat = []
+    for (g0r, g0i), (g1r, g1i) in ops:
+        flat += [g0r, g0i, g0r + g0i, g1r, g1i, g1r + g1i]
+    flat = tuple(flat)
+    wr32 = wr.astype(np.complex64)
+
+    @partial(jax.jit, static_argnames=())
+    def step(x, hist, *gs):
+        c, t, _ = x.shape
+        nw = t // nbins
+        k1 = k - 1
+        xq = x.reshape(c, nw, R, W, 2)
+        # last k1 samples of each quarter: [c, nw, R, k1, 2]
+        qt = xq[:, :, :, W - k1:, :]
+        # q_tail[w-1, R-1] with the stream carry at window 0
+        prev_last = jnp.concatenate(
+            [hist[:, None], qt[:, :-1, R - 1]], axis=1)  # [c, nw, k1, 2]
+        mm = lambda a, w_: jnp.matmul(
+            a, w_, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH)
+
+        def cmm3(a, wr_, wi_, ws_):
+            ar, ai = a[..., 0], a[..., 1]
+            p1 = mm(ar, wr_)
+            p2 = mm(ai, wi_)
+            p3 = mm(ar + ai, ws_)
+            return p1 - p2, p3 - p1 - p2
+
+        def wmul(z, wcplx):
+            # planar multiply by a scalar complex constant
+            arr, aii = z[..., 0], z[..., 1]
+            cr, ci = np.float32(wcplx.real), np.float32(wcplx.imag)
+            return jnp.stack([arr * cr - aii * ci,
+                              arr * ci + aii * cr], axis=-1)
+
+        zero_pad = jnp.zeros((c, nw, pp - k1, 2), x.dtype)
+        specs = []
+        for r in range(R):
+            # v_r = sum_m W_R^{mr} x_m  (scalar combos fuse elementwise)
+            v = wmul(xq[:, :, 0], wr32[r, 0])
+            for m in range(1, R):
+                v = v + wmul(xq[:, :, m], wr32[r, m])
+            # hist_r = prev_last + sum_{m>=1} W_R^{mr} q_tail[w, m-1]
+            hr = prev_last
+            for m in range(1, R):
+                hr = hr + wmul(qt[:, :, m - 1], wr32[r, m])
+            hrp = jnp.concatenate([zero_pad, hr], axis=2)
+            g = gs[6 * r: 6 * r + 6]
+            yr0, yi0 = cmm3(v, g[0], g[1], g[2])
+            yr1, yi1 = cmm3(hrp, g[3], g[4], g[5])
+            specs.append(jnp.stack([yr0 + yr1, yi0 + yi1], axis=-1))
+        # interleave: spec[R k' + r] = specs[r][k']
+        spec = jnp.stack(specs, axis=3)          # [c, nw, W, R, 2]
+        spec = spec.reshape(c, nw, nbins, 2)
+        new_hist = x[:, t - k1:, :] if k1 else x[:, :0, :]
+        return spec, new_hist
+
+    def run(x, carry):
+        return step(x, carry, *flat)
+
+    hist0 = jnp.zeros((1, k - 1, 2), jnp.float32)  # caller sizes C
+    return run, hist0
+
+
+# ---------------------------------------------------------------------- #
 # Circular-correction formulation: per 1024-window,
 #
 #     spec_w = FFT(x_w) . H  +  u_w @ Gc
