@@ -749,12 +749,24 @@ class EnvelopeDetector(Block):
         ga = jnp.float32(self._attack_gain)
         gr = jnp.float32(self._release_gain)
         carry0 = jnp.zeros((channels,), jnp.float32)
+        # blocked-parallel path: the follower is contractive, so blocks
+        # warm-started W samples early are exact to f32 resolution
+        # (ops/filter.envelope_blocked); W is static per taps-epoch.
+        W = fops.envelope_warmup(self._attack, self._release)
+        BLK = 8192
 
         def step(carry, x):
             if x.ndim == 3:  # planar complex -> magnitude
                 mag = jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
             else:
                 mag = jnp.abs(x)
+            t = mag.shape[1]
+            # blocked path pays W+L sequential steps total; use it when
+            # it actually shortens the chain and shapes divide
+            if t % BLK == 0 and t >= 4 * BLK and W <= 2 * BLK:
+                y, env_f = fops.envelope_blocked(mag, carry, ga, gr,
+                                                 BLK, W)
+                return env_f, y
             mt = jnp.moveaxis(mag, 1, 0)  # [T, C]
 
             def body(env, xn):

@@ -316,3 +316,56 @@ def envelope_scan(xabs, env0, attack_gain, release_gain):
 
     env_f, y = jax.lax.scan(step, env0, xabs)
     return y, env_f
+
+
+def envelope_warmup(attack: float, release: float) -> int:
+    """Samples after which the follower's initial condition decays below
+    f32 resolution: |d env_N / d env_0| <= max(ga, gr)^N < 2^-25 at
+    N = 25 ln2 * tau_max. Rounded up to a multiple of 256."""
+    tau = max(attack, release, 1.0)
+    w = int(np.ceil(25.0 * np.log(2.0) * tau))
+    return ((w + 255) // 256) * 256
+
+
+def envelope_blocked(xabs, env0, attack_gain, release_gain,
+                     L: int, W: int):
+    """Blocked-parallel attack/release follower (SURVEY.md hard-part #2
+    for the one data-DEPENDENT recursion in the catalog).
+
+    The recurrence env' = g(x, env) env + (1-g) x is nonlinear (g picks
+    attack/release by comparing x to env) so no associative scan exists
+    — but it is CONTRACTIVE: both slopes are < 1, so the initial
+    condition washes out below f32 resolution within W samples
+    (envelope_warmup). Split time into L-blocks and run every block as
+    an independent row of ONE batched scan over W+L steps, each row
+    warm-started from the W samples before its block. Row 0's warmup is
+    the CONSTANT env0 — a fixed point of the recurrence (x == env keeps
+    env exactly), so the carried state stays exact across quanta. The
+    scan runs W+L sequential steps on [P, nb] vectors instead of T
+    scalar steps: ~T/(W+L) x fewer sequential steps.
+
+    xabs: [P, T] (T % L == 0); env0: [P]. Returns (y [P, T], env [P]).
+    """
+    ga = attack_gain
+    gr = release_gain
+    P, T = xabs.shape
+    nb = T // L
+    # xfull[p, W + t] = x[p, t]; the first W entries are the env0 fixed
+    # point so block 0's warmup is exact
+    xfull = jnp.concatenate(
+        [jnp.broadcast_to(env0[:, None], (P, W)), xabs], axis=1)
+    idx = (jnp.arange(nb, dtype=jnp.int32)[:, None] * L
+           + jnp.arange(W + L, dtype=jnp.int32)[None, :])
+    xb = xfull[:, idx]                      # [P, nb, W+L]
+    xt = jnp.moveaxis(xb, 2, 0)             # [W+L, P, nb]
+    e_init = xt[0]                          # converges; exact for row 0
+
+    def step(env, xn):
+        g = jnp.where(xn > env, ga, gr)
+        env = g * env + (1.0 - g) * xn
+        return env, env
+
+    env_f, ys = jax.lax.scan(step, e_init, xt)
+    y = jnp.transpose(ys[W:], (1, 2, 0))    # [L, P, nb] -> [P, nb, L]
+    y = y.reshape(P, T)
+    return y, env_f[:, -1]

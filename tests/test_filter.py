@@ -880,3 +880,31 @@ def test_iir_blocked_core_matches_sequential():
                 y2_ref = np.asarray(y2_ref)[None]
             np.testing.assert_allclose(np.asarray(y2), y2_ref, atol=2e-4,
                                        err_msg=f"{dtype} t={t} q2")
+
+
+def test_envelope_blocked_matches_sequential():
+    """The warm-started blocked envelope follower (the one data-
+    dependent recursion) must match the per-sample scan to f32
+    resolution, including exact carry continuity across quanta."""
+    import jax.numpy as jnp
+    from pothoscomms_tpu.ops.filter import (
+        envelope_blocked, envelope_scan, envelope_warmup)
+
+    rng = np.random.default_rng(11)
+    for attack, release in ((4.0, 16.0), (10.0, 40.0), (1.0, 1.0)):
+        ga = np.float32(np.exp(-1.0 / attack))
+        gr = np.float32(np.exp(-1.0 / release))
+        W = envelope_warmup(attack, release)
+        assert W <= 2048
+        P, T, L = 3, 1 << 15, 4096
+        x = np.abs(rng.normal(size=(P, T))).astype(np.float32)
+        env0 = np.abs(rng.normal(size=P)).astype(np.float32)
+        yb, eb = envelope_blocked(jnp.asarray(x), jnp.asarray(env0),
+                                  ga, gr, L, W)
+        for p in range(P):
+            ys, es = envelope_scan(jnp.asarray(x[p]),
+                                   jnp.float32(env0[p]), ga, gr)
+            np.testing.assert_allclose(np.asarray(yb)[p], np.asarray(ys),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(float(np.asarray(eb)[p]),
+                                       float(es), rtol=1e-5)
