@@ -20,6 +20,12 @@ from pothoscomms_tpu.ops.fxpt import fxpt_atan2
 
 @register_block("/comms/freq_demod", "/blocks/freq_demod")
 class FreqDemod(Block):
+    DOC = {
+        "category": "/Demod",
+        "keywords": ["fm", "demod", "discriminator", "frequency"],
+        "params": {},
+    }
+
     def __init__(self, dtype="complex_float32"):
         super().__init__()
         self.dtype = DType.parse(dtype)

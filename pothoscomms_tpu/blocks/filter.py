@@ -546,6 +546,18 @@ class IIRFilter(Block):
 # ---------------------------------------------------------------------- #
 @register_block("/comms/dc_removal")
 class DCRemoval(Block):
+    DOC = {
+        "category": "/Filter",
+        "keywords": ["dc", "removal", "average", "offset"],
+        "params": {
+            "average_size": {"label": "Average Size", "default": 1024,
+                             "units": "samples",
+                             "widget": "SpinBox(minimum=1)"},
+            "cascade_size": {"label": "Cascade Size", "default": 1,
+                             "widget": "SpinBox(minimum=1)"},
+        },
+    }
+
     def __init__(self, dtype="complex_float32"):
         super().__init__()
         self.dtype = DType.parse(dtype)
@@ -676,6 +688,20 @@ class DCRemoval(Block):
 class EnvelopeDetector(Block):
     """Attack/release envelope follower; any real/complex input, float
     output; lookahead delay via retained input samples."""
+
+    DOC = {
+        "category": "/Filter",
+        "keywords": ["envelope", "detector", "attack", "release", "agc"],
+        "params": {
+            "attack": {"label": "Attack", "default": 10.0,
+                       "units": "samples",
+                       "desc": "Attack time constant (gain e^{-1/attack})."},
+            "release": {"label": "Release", "default": 10.0,
+                        "units": "samples"},
+            "lookahead": {"label": "Lookahead", "default": 0,
+                          "units": "samples"},
+        },
+    }
 
     def __init__(self, dtype="complex_float32"):
         super().__init__()

@@ -362,6 +362,19 @@ class PreambleCorrelator(Block):
     distance <= threshold (reference :130-151). Vectorized: the whole
     distance profile in one shot."""
 
+    DOC = {
+        "category": "/Digital",
+        "keywords": ["preamble", "correlator", "hamming", "frame"],
+        "params": {
+            "preamble": {"label": "Preamble", "default": [1]},
+            "threshold": {"label": "Threshold", "default": 0,
+                          "units": "bits",
+                          "widget": "SpinBox(minimum=0)"},
+            "frame_start_id": {"label": "Frame Start ID",
+                               "default": "frameStart"},
+        },
+    }
+
     def __init__(self):
         super().__init__()
         self.setup_input(0, DType.parse("uint8"))

@@ -47,6 +47,16 @@ class SimpleMac(Block):
     """4-port MAC: macIn->phyOut adds the CRC8 header; phyIn->macOut
     validates and strips it (reference: mac/SimpleMac.cpp)."""
 
+    DOC = {
+        "category": "/Packet",
+        "keywords": ["mac", "crc", "packet", "header"],
+        "params": {
+            "mac_id": {"label": "MAC ID", "default": 0,
+                       "desc": "16-bit address used as sender on TX and "
+                               "accepted recipient on RX."},
+        },
+    }
+
     def __init__(self):
         super().__init__()
         self.setup_input("phyIn")
@@ -144,6 +154,20 @@ class SimpleLlc(Block):
 
     4-byte header: PORT NONCE16 CTRL with PSH/REQ/SYN control bits.
     """
+
+    DOC = {
+        "category": "/Packet",
+        "keywords": ["llc", "arq", "go-back-n", "reliable"],
+        "params": {
+            "port": {"label": "Port", "default": 0},
+            "window_size": {"label": "Window Size", "default": 0,
+                            "widget": "SpinBox(minimum=1)"},
+            "expire_timeout": {"label": "Expire Timeout", "units": "s",
+                               "default": 0.0},
+            "resend_timeout": {"label": "Resend Timeout", "units": "s",
+                               "default": 0.0},
+        },
+    }
 
     def __init__(self, seed: Optional[int] = None):
         super().__init__()
