@@ -275,15 +275,17 @@ class FIRFilter(Block):
 
     def device_core(self, channels: int):
         """Fused-chain core: block-Toeplitz matmul FIR over [C, T(, 2)]
-        planar float32; carry = K-1 history samples per channel.
-        Restrictions: decim == interp == 1, <= 128 taps."""
+        planar float32; carry = K-1 history samples per channel (K-1
+        polyphase INPUT history for rational rates). Rational rates use
+        the blocked rational operator (ops/filter.rational_fir_mm);
+        quanta must be multiples of ``fuse_granule()``."""
         from pothoscomms_tpu.parallel.chain import (
             fir_toeplitz_matrices,
             fir_multichannel_mm,
         )
 
         if self._M != 1 or self._L != 1:
-            raise TypeError("fused FIR core requires decim == interp == 1")
+            return self._rational_device_core(channels)
         if len(self._taps) > 128:
             raise TypeError("fused FIR core requires <= 128 taps")
         t0, t1 = fir_toeplitz_matrices(self._taps)
@@ -307,14 +309,58 @@ class FIRFilter(Block):
 
         return carry0, step
 
+    def _rational_device_core(self, channels: int):
+        """Rational (L/M) resampling as the blocked-Toeplitz matmul
+        (ops/filter.rational_fir_mm); carry = K-1 polyphase INPUT
+        history samples. Quanta must be multiples of fuse_granule()."""
+        t0, t1, b_in, b_out = fops.rational_fir_operators(
+            self._taps, self._M, self._L)
+        k1 = max(self._K - 1, 1)
+        is_cplx = self.dtype.is_complex
+
+        if is_cplx:
+            carry0 = jnp.zeros((channels, k1, 2), jnp.float32)
+
+            def step(carry, x):
+                y, hist = fops.rational_fir_mm(x, carry, t0, t1,
+                                               b_in, b_out)
+                return hist, y
+        else:
+            carry0 = jnp.zeros((channels, k1), jnp.float32)
+
+            def step(carry, x):
+                xp = jnp.stack([x, jnp.zeros_like(x)], axis=-1)
+                hp = jnp.stack([carry, jnp.zeros_like(carry)], axis=-1)
+                y, hist = fops.rational_fir_mm(xp, hp, t0, t1,
+                                               b_in, b_out)
+                return hist[..., 0], y[..., 0]
+
+        return carry0, step
+
     # -- auto-fusion protocol (core/fusion.py) -------------------------- #
     fuse_kind = "fir"
 
     def fuse_retained(self) -> int:
         return self._K - 1
 
+    def fuse_granule(self) -> int:
+        # rational cores consume whole b_in blocks (128*M samples)
+        return 128 * self._M if (self._M != 1 or self._L != 1) else 1
+
+    def fuse_ratio(self):
+        """(out, in) sample-count ratio of the fused core."""
+        return (self._L, self._M)
+
     def fuse_ready(self) -> bool:
-        return (not self._wait_armed and self._M == 1 and self._L == 1
+        if self._M != 1 or self._L != 1:
+            # rational path: history is K-1 INPUT samples; complex taps
+            # and real taps both supported in planar f32. K >= 2 so the
+            # carry is non-degenerate (K == 1 streams on host).
+            return (not self._wait_armed and self._K >= 2
+                    and self._eob_samps_left == 0
+                    and self.dtype.is_float and self.dtype.bits == 32
+                    and self.input(0).elements() >= self._K - 1)
+        return (not self._wait_armed
                 and len(self._taps) <= 128
                 and self._eob_samps_left == 0
                 and self.dtype.is_float and self.dtype.bits == 32

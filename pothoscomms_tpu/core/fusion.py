@@ -308,10 +308,7 @@ class FusedSegment:
         self.params = None
         self._imports = None  # aligned with carries: fn(carry) restores
         self._epochs = None
-        # pull granule is static: num_bins is fixed at FFT construction
-        self.granule = max(
-            [b.num_bins for b in blocks
-             if getattr(b, "fuse_kind", None) == "fft"] + [1])
+        self._refresh_geometry()
         # compiled-step cache across engage cycles: jit instances keyed
         # by (member epochs, carry shapes) so a disengage/re-engage
         # (labels, drain) reuses XLA's compile cache instead of paying
@@ -331,6 +328,33 @@ class FusedSegment:
         self.fused_elements = 0
 
     # ------------------------------------------------------------------ #
+    def _refresh_geometry(self) -> None:
+        """Pull granule and output/input sample ratio. Recomputed at
+        engage: FFT bins are fixed, but a rational FIR's M/L (and with
+        them its block granule) can change with reconfiguration."""
+        import math
+        from fractions import Fraction
+
+        g = 1
+        ratio = Fraction(1)
+        for b in self.blocks:
+            if getattr(b, "fuse_kind", None) == "fft":
+                g = math.lcm(g, b.num_bins)
+            fg = getattr(b, "fuse_granule", None)
+            if callable(fg):
+                g = math.lcm(g, fg())
+            fr = getattr(b, "fuse_ratio", None)
+            if callable(fr):
+                o, i = fr()
+                ratio *= Fraction(o, i)
+        self.granule = g
+        self.out_per_in = ratio
+
+    def _free_to_input_units(self, free: int) -> int:
+        """Downstream free space (output units) -> input-unit budget."""
+        r = self.out_per_in
+        return int(free * r.denominator // r.numerator)
+
     def backlog(self) -> int:
         """Elements available to fuse: head-port queue depth, or the
         source quota for a source-headed segment."""
@@ -367,6 +391,7 @@ class FusedSegment:
             return False
         if self.head is not None and self.head._messages:
             return False
+        self._refresh_geometry()
         # engaging must yield at least one label-free pull quantum AFTER
         # the head block's retained state is exported off the queue —
         # otherwise the segment would engage, pull nothing, and
@@ -485,8 +510,10 @@ class FusedSegment:
     @staticmethod
     def _pair_eligible(fir, fft) -> bool:
         """Combined FIR*DFT operator preconditions (no side effects):
-        complex stream, 1 < K <= min(128, nbins)+1, forward FFT, no
-        mid-frame leftover phase."""
+        1:1 rate, complex stream, 1 < K <= min(128, nbins)+1, forward
+        FFT, no mid-frame leftover phase."""
+        if fir._M != 1 or fir._L != 1:
+            return False
         if fft.inverse or not fir.dtype.is_complex:
             return False
         k = len(fir._taps)
@@ -600,7 +627,8 @@ class FusedSegment:
             # streams with exact per-sample semantics
             avail = min(avail, limit)
         free = self.tail_out.free_space()
-        cap = avail if free is None else min(avail, max(free, 0))
+        cap = avail if free is None else min(
+            avail, max(self._free_to_input_units(free), 0))
         q = self._bucket(cap)
         if q == 0:
             # q can be 0 either because the LABEL bounds the pull (the
@@ -635,7 +663,8 @@ class FusedSegment:
         src = self.source
         avail = src._source_quota
         free = self.tail_out.free_space()
-        cap = avail if free is None else min(avail, max(free, 0))
+        cap = avail if free is None else min(
+            avail, max(self._free_to_input_units(free), 0))
         q = self._bucket(cap)
         if q == 0:
             return

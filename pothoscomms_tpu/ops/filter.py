@@ -148,6 +148,74 @@ def polyphase_fir(xh, taps_q, M: int, L: int, K: int, kind: str,
     raise ValueError(f"unknown fir kind {kind}")
 
 
+def rational_fir_operators(taps, M: int, L: int, block_in: int = None):
+    """Blocked-Toeplitz operators for the rational resampler as a
+    matmul: over a block of B_in input samples producing
+    B_out = B_in*L/M outputs,
+
+        y_blk = x_blk @ T0 + prev_tail @ T1,
+
+    with T0 [B_in, B_out], T1 [K-1, B_out] built from the polyphase
+    map (filter/FIRFilter.cpp:286-302: output t at upsampled position
+    u = t*M + M-1, y[t] = sum_k taps[u%L + k*L] * x[u//L - k]). The MXU
+    matmul replaces the [T, K] gather formulation — the same trade that
+    won for the 1:1 FIR (fir_toeplitz_matrices).
+
+    Returns (t0 planar [B_in, B_out, 2], t1 planar [K-1, B_out, 2],
+    B_in, B_out)."""
+    h = np.asarray(taps, np.complex128)
+    # K = ceil(n/L) with zero padding, matching _polyphase_matrix
+    K = len(h) // L + (0 if len(h) % L == 0 else 1)
+    hp = np.zeros(K * L, np.complex128)
+    hp[: len(h)] = h
+    b_in = block_in or 128 * M
+    assert b_in % M == 0
+    b_out = (b_in // M) * L
+    t0 = np.zeros((b_in, b_out), np.complex128)
+    t1 = np.zeros((max(K - 1, 1), b_out), np.complex128)
+    for t in range(b_out):
+        u = t * M + (M - 1)
+        n = u // L
+        j = u % L
+        for k in range(K):
+            i = n - k
+            c = hp[j + k * L]
+            if i >= 0:
+                t0[i, t] += c
+            else:
+                t1[(K - 1) + i, t] += c
+    pl_ = lambda z: jnp.asarray(
+        np.stack([z.real, z.imag], -1).astype(np.float32))
+    return pl_(t0), pl_(t1), b_in, b_out
+
+
+@partial(jax.jit, static_argnames=("b_in", "b_out"))
+def rational_fir_mm(x, history, t0, t1, b_in: int, b_out: int):
+    """Matmul rational resampler: x [C, T, 2] planar f32 with
+    T % b_in == 0; history [C, K-1, 2] (K-1 previous INPUT samples).
+    Returns (y [C, T*b_out//b_in, 2], new_history)."""
+    c, t, _ = x.shape
+    k1 = history.shape[1]
+    nb = t // b_in
+    xb = x.reshape(c, nb, b_in, 2)
+    prev = jnp.concatenate(
+        [history[:, None], xb[:, :-1, b_in - k1:, :]], axis=1)
+
+    def cmm(a, m):
+        mm = lambda p, q: jnp.matmul(
+            p, q, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH)
+        ar, ai = a[..., 0], a[..., 1]
+        mr, mi = m[..., 0], m[..., 1]
+        return jnp.stack(
+            [mm(ar, mr) - mm(ai, mi), mm(ar, mi) + mm(ai, mr)], axis=-1)
+
+    y = cmm(xb, t0) + cmm(prev, t1)
+    y = y.reshape(c, nb * b_out, 2)
+    new_hist = x[:, t - k1:, :]
+    return y, new_hist
+
+
 # ---------------------------------------------------------------------- #
 # IIR direct-form (spuce iir_df equivalent)
 # ---------------------------------------------------------------------- #
@@ -237,20 +305,25 @@ def iir_blocked_step(xp, z0, Hmat, Wz, M, G, L: int):
     order = z0.shape[0]
     nb = t // L
     xb = xp.reshape(P, nb, L)
-    u = jnp.einsum("pnl,ol->nop", xb, G)  # [nb, O, P]
+    # HIGHEST precision throughout: the recurrence compounds per-block
+    # error, and the chip's DEFAULT einsum is 1-pass bf16 — it breached
+    # the f64-oracle tolerance in the real-TPU lane (round 4)
+    es = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
+    u = es("pnl,ol->nop", xb, G)  # [nb, O, P]
     Mt = jnp.broadcast_to(M, (nb, order, order))
 
     def comb(ea, eb):
         Pa, va = ea
         Pb, vb = eb
-        return (jnp.einsum("kij,kjl->kil", Pb, Pa),
-                jnp.einsum("kij,kjp->kip", Pb, va) + vb)
+        return (es("kij,kjl->kil", Pb, Pa),
+                es("kij,kjp->kip", Pb, va) + vb)
 
     Cc, w = jax.lax.associative_scan(comb, (Mt, u), axis=0)
-    z_next = jnp.einsum("kij,jp->kip", Cc, z0) + w  # z_{k+1}, k=0..nb-1
+    z_next = es("kij,jp->kip", Cc, z0) + w  # z_{k+1}, k=0..nb-1
     zs = jnp.concatenate([z0[None], z_next[:-1]], axis=0)  # z_k per block
-    y = (jnp.einsum("jo,kop->pkj", Wz, zs)
-         + jnp.einsum("jm,pkm->pkj", Hmat, xb))
+    y = (es("jo,kop->pkj", Wz, zs)
+         + es("jm,pkm->pkj", Hmat, xb))
     return y.reshape(P, t), z_next[-1]
 
 

@@ -155,10 +155,21 @@ def test_unfusable_block_raises():
     corr = BlockRegistry.make("/comms/preamble_correlator")
     with pytest.raises(TypeError):
         compile_chain([corr], channels=1)
+
+
+def test_rational_fir_device_core_compiles():
+    """Round 4: rational rates get a device core too (blocked-Toeplitz
+    rational matmul) — a 2:1 decimator compiles and halves the length."""
+    import jax.numpy as jnp
+
     fir = BlockRegistry.make("/comms/fir_filter", "float32", "REAL")
+    fir.set_taps(np.asarray([0.25, 0.5, 0.25]))
     fir.set_decimation(2)
-    with pytest.raises(TypeError):
-        compile_chain([fir], channels=1)
+    step, carry = compile_chain([fir], channels=2)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 512)).astype(np.float32))
+    y, carry2 = step(x, carry)
+    assert y.shape == (2, 256)
 
 
 def test_compile_chain_sharded_fm_matches_single_device():

@@ -826,8 +826,19 @@ def test_iir_blocked_core_matches_sequential():
     """The blocked state-space IIR core (associative scan, VERDICT r3
     next #4) must match the per-sample sequential scan exactly (f32
     tolerance), real and complex, across block-ladder quantum sizes."""
+    import contextlib
+
+    import jax
     import jax.numpy as jnp
+    from pothoscomms_tpu.core.device import cpu_device
     from pothoscomms_tpu.core.registry import BlockRegistry
+
+    # the f64/c128 iir_df oracle must run on the host CPU backend: the
+    # real chip has no C128/F64 HLOs (same scoping the block's own
+    # streaming path uses)
+    oracle_scope = (contextlib.nullcontext()
+                    if jax.default_backend() == "cpu"
+                    else jax.default_device(cpu_device()))
 
     rng = np.random.default_rng(9)
     # a stable biquad (the block's default butterworth-ish taps)
@@ -851,33 +862,36 @@ def test_iir_blocked_core_matches_sequential():
             b = np.asarray(taps[:3]) / taps[3]
             a = np.asarray(taps[3:]) / taps[3]
             xn = np.asarray(x)
-            if is_cplx:
-                xc = xn[0, :, 0] + 1j * xn[0, :, 1]
-                y_ref, z_ref = iir_df(jnp.asarray(xc), jnp.asarray(b),
-                                      jnp.asarray(a),
-                                      jnp.zeros(2, jnp.complex128))
-                y_ref = np.stack([np.asarray(y_ref).real,
-                                  np.asarray(y_ref).imag], -1)[None]
-            else:
-                y_ref, z_ref = iir_df(jnp.asarray(xn[0]), jnp.asarray(b),
-                                      jnp.asarray(a),
-                                      jnp.zeros(2, jnp.float64))
-                y_ref = np.asarray(y_ref)[None]
+            with oracle_scope:
+                if is_cplx:
+                    xc = xn[0, :, 0] + 1j * xn[0, :, 1]
+                    y_ref, z_ref = iir_df(jnp.asarray(xc), jnp.asarray(b),
+                                          jnp.asarray(a),
+                                          jnp.zeros(2, jnp.complex128))
+                    y_ref = np.stack([np.asarray(y_ref).real,
+                                      np.asarray(y_ref).imag], -1)[None]
+                else:
+                    y_ref, z_ref = iir_df(jnp.asarray(xn[0]),
+                                          jnp.asarray(b), jnp.asarray(a),
+                                          jnp.zeros(2, jnp.float64))
+                    y_ref = np.asarray(y_ref)[None]
             np.testing.assert_allclose(np.asarray(y_blocked), y_ref,
                                        atol=2e-4, err_msg=f"{dtype} t={t}")
             # state continuity: second quantum picks up where the first
             # ended
             z2, y2 = step(z_blocked, x)
-            if is_cplx:
-                xc = xn[0, :, 0] + 1j * xn[0, :, 1]
-                y2_ref, _ = iir_df(jnp.asarray(xc), jnp.asarray(b),
-                                   jnp.asarray(a), z_ref)
-                y2_ref = np.stack([np.asarray(y2_ref).real,
-                                   np.asarray(y2_ref).imag], -1)[None]
-            else:
-                y2_ref, _ = iir_df(jnp.asarray(xn[0]), jnp.asarray(b),
-                                   jnp.asarray(a), z_ref)
-                y2_ref = np.asarray(y2_ref)[None]
+            with oracle_scope:
+                if is_cplx:
+                    xc = xn[0, :, 0] + 1j * xn[0, :, 1]
+                    y2_ref, _ = iir_df(jnp.asarray(xc), jnp.asarray(b),
+                                       jnp.asarray(a), z_ref)
+                    y2_ref = np.stack([np.asarray(y2_ref).real,
+                                       np.asarray(y2_ref).imag], -1)[None]
+                else:
+                    y2_ref, _ = iir_df(jnp.asarray(xn[0]),
+                                       jnp.asarray(b), jnp.asarray(a),
+                                       z_ref)
+                    y2_ref = np.asarray(y2_ref)[None]
             np.testing.assert_allclose(np.asarray(y2), y2_ref, atol=2e-4,
                                        err_msg=f"{dtype} t={t} q2")
 
@@ -908,3 +922,40 @@ def test_envelope_blocked_matches_sequential():
                                        rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(float(np.asarray(eb)[p]),
                                        float(es), rtol=1e-5)
+
+
+def test_rational_fir_mm_matches_polyphase():
+    """The blocked-Toeplitz matmul resampler must match the polyphase
+    gather formulation exactly, incl. history continuity."""
+    import jax.numpy as jnp
+    from pothoscomms_tpu.ops.filter import (
+        polyphase_fir, rational_fir_mm, rational_fir_operators)
+
+    rng = np.random.default_rng(13)
+    for M, L in ((2, 3), (3, 2), (1, 4), (4, 1)):
+        K_TAPS = 60 - (60 % L)
+        taps = ((rng.normal(size=K_TAPS) + 1j * rng.normal(size=K_TAPS))
+                / K_TAPS)
+        K = K_TAPS // L
+        phases = np.zeros((L, K), np.complex128)
+        for j in range(L):
+            for k in range(K):
+                phases[j, k] = taps[j + k * L]
+        taps_q = jnp.asarray(
+            np.stack([phases.real, phases.imag], -1).astype(np.float32))
+        t0, t1, b_in, b_out = rational_fir_operators(taps, M, L)
+        T = 4 * b_in
+        hist = np.zeros((1, max(K - 1, 1), 2), np.float32)
+        xs = [rng.normal(size=(1, T, 2)).astype(np.float32)
+              for _ in range(2)]
+        h = jnp.asarray(hist)
+        for x in xs:
+            y, h = rational_fir_mm(jnp.asarray(x), h, t0, t1, b_in, b_out)
+            # oracle: gather polyphase over the same window with history
+            xh = np.concatenate([hist[0], x[0]])
+            y_ref = polyphase_fir(jnp.asarray(xh), taps_q, M, L, K,
+                                  "planar", 0)
+            hist = x[:, T - max(K - 1, 1):, :]
+            np.testing.assert_allclose(
+                np.asarray(y)[0], np.asarray(y_ref), atol=2e-4,
+                err_msg=f"M={M} L={L}")

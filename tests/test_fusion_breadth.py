@@ -285,3 +285,36 @@ def test_probe_tap_at_tail_stays_fused():
     np.testing.assert_allclose(s_f.get_buffer(), s_r.get_buffer(),
                                atol=1e-3)
     assert p_f.value() == pytest.approx(p_r.value(), rel=1e-3)
+
+
+def test_rational_fir_fuses():
+    """BASELINE config #3 shape in a topology: a 3:2 rational resampler
+    HEADS a fused segment (blocked-Toeplitz rational matmul core) with
+    output parity vs the streaming polyphase path. (As an INTERIOR
+    member a rational block engages only when its polyphase residue is
+    zero — at the head the queue simply drains in granule multiples.)"""
+    rng = np.random.default_rng(21)
+    M, L, K_TAPS = 2, 3, 60
+    taps = (rng.normal(size=K_TAPS) + 1j * rng.normal(size=K_TAPS)) / K_TAPS
+
+    def mk():
+        fir = BlockRegistry.make("/comms/fir_filter", "complex_float32",
+                                 "COMPLEX")
+        fir.set_taps(taps)
+        fir.set_decimation(M)
+        fir.set_interpolation(L)
+        sc = BlockRegistry.make("/comms/scale", "complex_float32")
+        sc.set_factor(1.25)
+        return [fir, sc]
+
+    feeds = [_cplx(rng, 4 * THRESH), _cplx(rng, 2 * THRESH + 64)]
+    s_f, topo = _run(mk(), "complex_float32", "complex_float32", feeds,
+                     True)
+    assert sum(s.engage_count for s in topo._segments) >= 1, (
+        "rational FIR segment never engaged")
+    s_r, _ = _run(mk(), "complex_float32", "complex_float32", feeds,
+                  False)
+    a, b = s_f.get_buffer(), s_r.get_buffer()
+    n = min(len(a), len(b))
+    assert n > 0 and abs(len(a) - len(b)) < 2 * K_TAPS
+    np.testing.assert_allclose(a[:n], b[:n], atol=1e-3)
