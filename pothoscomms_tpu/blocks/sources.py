@@ -409,6 +409,7 @@ class NoiseSource(_TableSource):
         return self._table is not None
 
     def fuse_source_export(self, channels: int):
+        import jax
         import jax.numpy as jnp
 
         if self._table is None:
@@ -420,22 +421,28 @@ class NoiseSource(_TableSource):
                 np.stack([tab.real, tab.imag], -1).astype(np.float32))
         else:
             tbl = jnp.asarray(np.asarray(tab, np.float32))
-        base = jnp.asarray(np.arange(P, dtype=np.float32))
+        # doubled table: each tile is then ONE contiguous P-slice at its
+        # offset, so the generation lowers to k sliced gathers instead
+        # of t scalar gathers (the scalar-gather form measured ~half the
+        # whole FM chain's time at 4Mi, benches/probe_fm_phases.py)
+        tbl2 = jnp.concatenate([tbl, tbl], axis=0)
         carry = jnp.asarray(np.float32(int(self._rng.integers(0, P))))
         fP = float(P)
         WEYL = 2531  # odd stride ~ P/phi: low-discrepancy pool re-entry
 
-        def src_step(carry, t, base, tbl):
+        def src_step(carry, t, tbl2):
             k = -(-t // P)
             woffs = jnp.asarray(
                 (np.arange(k, dtype=np.int64) * WEYL % P).astype(np.float32))
-            offs = jnp.mod(woffs + carry, fP)
-            idx = jnp.mod(base[None, :] + offs[:, None], fP)
-            y = tbl[idx.reshape(-1)[:t].astype(jnp.int32)]
+            offs = jnp.mod(woffs + carry, fP).astype(jnp.int32)
+            y = jax.vmap(
+                lambda o: jax.lax.dynamic_slice_in_dim(tbl2, o, P, axis=0)
+            )(offs)                                  # [k, P(, 2)]
+            y = y.reshape((k * P,) + tbl.shape[1:])[:t]
             adv = np.float32((k * WEYL) % P)
             return jnp.mod(carry + adv, fP), y[None]
 
-        return carry, src_step, (base, tbl)
+        return carry, src_step, (tbl2,)
 
     def fuse_source_import(self, carry) -> None:
         # pool re-entry is randomized either way; nothing to restore
