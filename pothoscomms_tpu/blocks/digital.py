@@ -94,8 +94,25 @@ class _ConversionBlock(Block):
             out.post_label(lb.to_adjusted(self.label_mul, self.label_div))
 
 
+class _ConversionDoc:
+    DOC = {
+        "category": "/Digital",
+        "keywords": ["bits", "symbols", "bytes", "pack", "unpack"],
+        "params": {
+            "mod": {"label": "Modulus", "default": 2,
+                    "desc": "Symbol modulus 2^N (N bits per symbol)."},
+            "bit_order": {
+                "label": "Bit Order",
+                "options": [{"label": "MSBit", "value": "MSBit"},
+                            {"label": "LSBit", "value": "LSBit"}],
+                "default": "MSBit",
+            },
+        },
+    }
+
+
 @register_block("/comms/bits_to_symbols", "/blocks/bits_to_symbols")
-class BitsToSymbols(_ConversionBlock):
+class BitsToSymbols(_ConversionDoc, _ConversionBlock):
     """Pack bits into width-N symbols (reference: digital/BitsToSymbols.cpp)."""
 
     def __init__(self, mod: int = 1, order: str = "LSBit"):
@@ -113,7 +130,7 @@ class BitsToSymbols(_ConversionBlock):
 
 
 @register_block("/comms/symbols_to_bits", "/blocks/symbols_to_bits")
-class SymbolsToBits(_ConversionBlock):
+class SymbolsToBits(_ConversionDoc, _ConversionBlock):
     """Unpack width-N symbols into bits (reference: digital/SymbolsToBits.cpp)."""
 
     def __init__(self, mod: int = 1, order: str = "LSBit"):
@@ -131,7 +148,7 @@ class SymbolsToBits(_ConversionBlock):
 
 
 @register_block("/comms/symbols_to_bytes", "/blocks/symbols_to_bytes")
-class SymbolsToBytes(_ConversionBlock):
+class SymbolsToBytes(_ConversionDoc, _ConversionBlock):
     """Pack width-N symbols into bytes (reference: digital/SymbolsToBytes.cpp;
     group granularity :74-78)."""
 
@@ -150,7 +167,7 @@ class SymbolsToBytes(_ConversionBlock):
 
 
 @register_block("/comms/bytes_to_symbols", "/blocks/bytes_to_symbols")
-class BytesToSymbols(_ConversionBlock):
+class BytesToSymbols(_ConversionDoc, _ConversionBlock):
     """Unpack bytes into width-N symbols (reference:
     digital/BytesToSymbols.cpp; reserve groups :69-76)."""
 
@@ -172,8 +189,19 @@ class BytesToSymbols(_ConversionBlock):
 # Symbol mapper / slicer (reference: digital/SymbolMapper.cpp,
 # digital/SymbolSlicer.cpp)
 # ---------------------------------------------------------------------- #
+class _SymbolMapDoc:
+    DOC = {
+        "category": "/Digital",
+        "keywords": ["symbol", "constellation", "mapper", "slicer"],
+        "params": {
+            "map": {"label": "Symbol Map", "default": [-1.0, 1.0],
+                    "desc": "Power-of-2-length constellation points."},
+        },
+    }
+
+
 @register_block("/comms/symbol_mapper", "/blocks/symbol_mapper")
-class SymbolMapper(Block):
+class SymbolMapper(_SymbolMapDoc, Block):
     """uchar symbol index -> constellation point via power-of-2 LUT."""
 
     def __init__(self, dtype="complex_float32"):
@@ -216,7 +244,7 @@ class SymbolMapper(Block):
 
 
 @register_block("/comms/symbol_slicer", "/blocks/symbol_slicer")
-class SymbolSlicer(Block):
+class SymbolSlicer(_SymbolMapDoc, Block):
     """Nearest-neighbor constellation decision -> uchar index
     (squared-euclidean brute force, reference: SymbolSlicer.cpp:78-100)."""
 
