@@ -833,8 +833,11 @@ class EnvelopeDetector(Block):
             else:
                 mag = jnp.abs(x)
             t = mag.shape[1]
-            # blocked path pays W+L sequential steps total; use it when
-            # it actually shortens the chain and shapes divide
+            # blocked path pays W+L sequential steps total; worth it
+            # only when it cuts the chain a LOT (t >= 4 blocks): at
+            # multi-channel small-t the channel axis already fills the
+            # VPU and the warmup overhead loses (measured: fm_chain
+            # C=256 t=16K ran 505 vs 659 Msamp/s with nb=2 blocking)
             if t % BLK == 0 and t >= 4 * BLK and W <= 2 * BLK:
                 y, env_f = fops.envelope_blocked(mag, carry, ga, gr,
                                                  BLK, W)
