@@ -237,43 +237,66 @@ class WaveformSource(_TableSource):
     def fuse_source_export(self, channels: int):
         """-> (carry, src_step, params). ``src_step(carry, t, *params)``
         produces [1, t(, 2)] planar f32; ``t`` is static per trace.
-        Carry is the f32 table index (exact: index < table size <= 2^20).
-        The streaming path's index semantics are reproduced exactly:
-        idx_i = (index + i*step) mod N via per-tile modular splits whose
-        partial sums stay < 3N (f32-exact)."""
+
+        The step+mask table walk visits tbl[(index + j*step) mod N] —
+        periodic with period N/gcd(step, N). The whole period is
+        materialized ON THE HOST at engage (exact int64 index math),
+        starting from the CURRENT index, so device generation becomes a
+        CONSECUTIVE walk over that sequence: per tile, one contiguous
+        dynamic-slice of the extended sequence. (A scalar per-sample
+        gather lowers on this backend with a ~x128 lane-padded temp —
+        ~512 B/sample of HBM — which OOMs whole-chain programs at 16 Mi
+        quanta; sliced gathers don't.) Carry = samples emitted mod
+        period (f32-exact: period <= 2^20)."""
+        import jax
         import jax.numpy as jnp
 
         if self._table is None:
             self._update_table()
         N = self._mask + 1
         step_i = self._step % N
-        tab = self._table
+        import math as _math
+
+        period = N // _math.gcd(step_i, N) if step_i else 1
+        idxs = (self._index
+                + np.arange(period, dtype=np.int64) * step_i) % N
+        s = self._table[idxs]
+        TILE = _SRC_TILE
+        reps = 1 + -(-TILE // period)
+        s_ext = np.concatenate([s] * reps)[: period + TILE]
         if self.dtype.is_complex:
-            tbl = jnp.asarray(
-                np.stack([tab.real, tab.imag], -1).astype(np.float32))
+            se = jnp.asarray(
+                np.stack([s_ext.real, s_ext.imag], -1).astype(np.float32))
         else:
-            tbl = jnp.asarray(np.asarray(tab, np.float32))
-        base_full = jnp.asarray(
-            (np.arange(_SRC_TILE, dtype=np.int64) * step_i % N
-             ).astype(np.float32))
-        carry = jnp.asarray(np.float32(self._index % N))
-        fN = float(N)
+            se = jnp.asarray(s_ext.astype(np.float32))
+        carry = jnp.asarray(np.float32(0.0))
+        fper = float(period)
 
-        def src_step(carry, t, base_full, tbl):
-            g = min(t, _SRC_TILE)
-            k = -(-t // g)  # ceil: gather k*g then slice to t
-            offs = jnp.asarray(
-                (np.arange(k, dtype=np.int64) * g * step_i % N
+        def src_step(carry, t, se):
+            k = -(-t // TILE)
+            offs_c = jnp.asarray(
+                (np.arange(k, dtype=np.int64) * TILE % period
                  ).astype(np.float32))
-            idx = jnp.mod(base_full[:g][None, :] + offs[:, None] + carry, fN)
-            y = tbl[idx.reshape(-1)[:t].astype(jnp.int32)]
-            adv = np.float32((t * step_i) % N)
-            return jnp.mod(carry + adv, fN), y[None]
+            offs = jnp.mod(offs_c + carry, fper).astype(jnp.int32)
+            y = jax.vmap(
+                lambda o: jax.lax.dynamic_slice_in_dim(se, o, TILE, axis=0)
+            )(offs)
+            y = y.reshape((k * TILE,) + se.shape[1:])[:t]
+            adv = np.float32(t % period)
+            return jnp.mod(carry + adv, fper), y[None]
 
-        return carry, src_step, (base_full, tbl)
+        # close over period/step for the exact import mapping
+        self._fuse_walk = (step_i, period, self._index)
+        return carry, src_step, (se,)
 
     def fuse_source_import(self, carry) -> None:
-        self._index = int(round(float(np.asarray(carry)))) % (self._mask + 1)
+        step_i, period, index0 = getattr(
+            self, "_fuse_walk", (self._step % (self._mask + 1), 1,
+                                 self._index))
+        j = int(round(float(np.asarray(carry)))) % max(period, 1)
+        # t_total = j (mod period) and period*step = 0 (mod N), so the
+        # raw index advance j*step is exact
+        self._index = (index0 + j * step_i) % (self._mask + 1)
 
 
 @register_block("/comms/noise_source", "/blocks/noise_source")
