@@ -289,8 +289,20 @@ class SymbolSlicer(_SymbolMapDoc, Block):
 # Differential coding (reference: digital/DifferentialEncoder.cpp,
 # digital/DifferentialDecoder.cpp)
 # ---------------------------------------------------------------------- #
+class _DiffDoc:
+    DOC = {
+        "category": "/Digital",
+        "keywords": ["differential", "encoder", "decoder", "symbols"],
+        "params": {
+            "symbols": {"label": "Symbols", "default": 2,
+                        "desc": "Modulus N: out = (in +- last) mod N.",
+                        "widget": "SpinBox(minimum=2)"},
+        },
+    }
+
+
 @register_block("/comms/differential_encoder", "/blocks/differential_encoder")
-class DifferentialEncoder(Block):
+class DifferentialEncoder(_DiffDoc, Block):
     def __init__(self):
         super().__init__()
         self.setup_input(0, DType.parse("uint8"))
@@ -316,7 +328,7 @@ class DifferentialEncoder(Block):
 
 
 @register_block("/comms/differential_decoder", "/blocks/differential_decoder")
-class DifferentialDecoder(Block):
+class DifferentialDecoder(_DiffDoc, Block):
     def __init__(self):
         super().__init__()
         self.setup_input(0, DType.parse("uint8"))
@@ -671,6 +683,23 @@ _BYTE_ORDER_OPTS = ("Swap Order", "Big Endian", "Little Endian",
 
 @register_block("/comms/byte_order")
 class ByteOrderBlock(Block):
+    DOC = {
+        "category": "/Digital",
+        "keywords": ["byte", "order", "endian", "swap"],
+        "params": {
+            "byte_order": {
+                "label": "Byte Order",
+                "options": [
+                    {"label": "Swap", "value": "SWAP"},
+                    {"label": "Native", "value": "NATIVE"},
+                    {"label": "Big Endian", "value": "BIG"},
+                    {"label": "Little Endian", "value": "LITTLE"},
+                ],
+                "default": "SWAP",
+            },
+        },
+    }
+
     """Endian swap of each element; float/double via uint reinterpret,
     complex componentwise (reference: digital/ByteOrder.hpp:25-115)."""
 

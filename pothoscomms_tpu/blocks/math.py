@@ -112,6 +112,27 @@ def arithmetic_factory(dtype, operation: str):
 
 
 class Arithmetic(Block):
+    DOC = {
+        "category": "/Math",
+        "keywords": ["arithmetic", "add", "subtract", "multiply",
+                     "divide"],
+        "factory_args": {
+            "operation": {
+                "label": "Operation",
+                "options": [{"label": o.title(), "value": o} for o in
+                            ("ADD", "SUB", "MUL", "DIV")],
+                "default": "ADD",
+            },
+        },
+        "params": {
+            "num_inputs": {"label": "Num Inputs", "default": 2,
+                           "widget": "SpinBox(minimum=2)"},
+            "preload": {"label": "Preload", "default": [],
+                        "desc": "Zero-sample preload per input port "
+                                "(feedback topologies)."},
+        },
+    }
+
     def __init__(self, dtype, operation: str):
         super().__init__()
         self.dtype = DType.parse(dtype)
@@ -210,6 +231,22 @@ def const_arithmetic_factory(dtype, operation: str, constant):
 
 
 class ConstArithmetic(Block):
+    DOC = {
+        "category": "/Math",
+        "keywords": ["arithmetic", "constant", "scale", "offset"],
+        "factory_args": {
+            "operation": {
+                "label": "Operation",
+                "options": [{"label": o, "value": o} for o in
+                            ("X+K", "X-K", "K-X", "X*K", "X/K", "K/X")],
+                "default": "X+K",
+            },
+        },
+        "params": {
+            "constant": {"label": "Constant", "default": 0.0},
+        },
+    }
+
     def __init__(self, dtype, operation, constant):
         super().__init__()
         self.dtype = DType.parse(dtype)
@@ -686,6 +723,19 @@ def trig_factory(dtype, operation: str):
 
 
 class Trigonometric(ElementwiseBlock):
+    DOC = {
+        "category": "/Math",
+        "keywords": ["trig", "sin", "cos", "tan", "hyperbolic"],
+        "params": {
+            "operation": {
+                "label": "Operation",
+                "options": [{"label": o.title(), "value": o}
+                            for o in sorted(ew.TRIG_OPS)],
+                "default": "SIN",
+            },
+        },
+    }
+
     def __init__(self, dtype, operation):
         dt = DType.parse(dtype)
         if not dt.is_float or dt.is_complex:
