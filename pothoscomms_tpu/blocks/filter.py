@@ -515,9 +515,15 @@ class IIRFilter(Block):
             # cache NUMPY constants: a jnp array created during one jit
             # trace is a tracer and must not leak into another trace
             if L not in ops_cache:
-                ops_cache[L] = tuple(
-                    m.astype(np.float32)
-                    for m in fops.iir_blocked_operators(bq, aq, L))
+                ops = fops.iir_blocked_operators(bq, aq, L)
+                # unstable/marginal filters overflow the A^j powers —
+                # fall back to the per-sample scan rather than bake
+                # inf/NaN operators (None sentinel checked by step)
+                if all(np.all(np.isfinite(m)) for m in ops):
+                    ops_cache[L] = tuple(
+                        m.astype(np.float32) for m in ops)
+                else:
+                    ops_cache[L] = None
             return ops_cache[L]
 
         def seq_step(carry, x):
@@ -539,7 +545,7 @@ class IIRFilter(Block):
             t = x.shape[1]
             L = next((c for c in self._BLOCK_LS if t % c == 0 and t >= c),
                      None)
-            if L is None:
+            if L is None or get_ops(L) is None:
                 return seq_step(carry, x)
             H, Wz, M, G = get_ops(L)
             C = x.shape[0]

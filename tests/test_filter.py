@@ -959,3 +959,20 @@ def test_rational_fir_mm_matches_polyphase():
             np.testing.assert_allclose(
                 np.asarray(y)[0], np.asarray(y_ref), atol=2e-4,
                 err_msg=f"M={M} L={L}")
+
+
+def test_iir_blocked_unstable_falls_back():
+    """An unstable filter overflows the blocked operators' A^j powers —
+    the device core must fall back to the sequential scan instead of
+    baking inf/NaN constants."""
+    import jax.numpy as jnp
+    from pothoscomms_tpu.core.registry import BlockRegistry
+
+    blk = BlockRegistry.make("/comms/iir_filter", "float32")
+    blk.set_taps([1.0, 0.0, 1.0, -2.5])  # pole at 2.5: unstable
+    carry0, step = blk.device_core(1)
+    x = jnp.asarray(np.ones((1, 1024), np.float32) * 1e-3)
+    z, y = step(carry0, x)
+    # diverges (unstable) but must be FINITE for a while, not NaN from
+    # overflowed operators
+    assert np.all(np.isfinite(np.asarray(y)[0, :64]))
