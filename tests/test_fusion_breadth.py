@@ -318,3 +318,34 @@ def test_rational_fir_fuses():
     n = min(len(a), len(b))
     assert n > 0 and abs(len(a) - len(b)) < 2 * K_TAPS
     np.testing.assert_allclose(a[:n], b[:n], atol=1e-3)
+
+
+def test_rational_fir_interior_engages_at_zero_residue():
+    """An INTERIOR rational member engages when its polyphase residue
+    (avail - (K-1)) mod M hits zero — odd-sized feeds align it for
+    M=2, K=20 (K-1 odd)."""
+    rng = np.random.default_rng(23)
+    M, L, K_TAPS = 2, 3, 60
+    taps = (rng.normal(size=K_TAPS) + 1j * rng.normal(size=K_TAPS)) / K_TAPS
+
+    def mk():
+        sc = BlockRegistry.make("/comms/scale", "complex_float32")
+        sc.set_factor(0.75)
+        fir = BlockRegistry.make("/comms/fir_filter", "complex_float32",
+                                 "COMPLEX")
+        fir.set_taps(taps)
+        fir.set_decimation(M)
+        fir.set_interpolation(L)
+        return [sc, fir]
+
+    feeds = [_cplx(rng, 4 * THRESH + 1), _cplx(rng, 2 * THRESH + 1)]
+    s_f, topo = _run(mk(), "complex_float32", "complex_float32", feeds,
+                     True)
+    assert sum(s.engage_count for s in topo._segments) >= 1, (
+        "interior rational FIR never engaged at zero residue")
+    s_r, _ = _run(mk(), "complex_float32", "complex_float32", feeds,
+                  False)
+    a, b = s_f.get_buffer(), s_r.get_buffer()
+    n = min(len(a), len(b))
+    assert n > 0
+    np.testing.assert_allclose(a[:n], b[:n], atol=1e-3)
