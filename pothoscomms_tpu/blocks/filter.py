@@ -518,10 +518,13 @@ class IIRFilter(Block):
                 ops = fops.iir_blocked_operators(bq, aq, L)
                 # unstable/marginal filters overflow the A^j powers —
                 # fall back to the per-sample scan rather than bake
-                # inf/NaN operators (None sentinel checked by step)
-                if all(np.all(np.isfinite(m)) for m in ops):
-                    ops_cache[L] = tuple(
-                        m.astype(np.float32) for m in ops)
+                # inf/NaN operators (None sentinel checked by step).
+                # Check AFTER the f32 cast: finite f64 values can still
+                # overflow float32.
+                with np.errstate(over="ignore"):
+                    ops32 = tuple(m.astype(np.float32) for m in ops)
+                if all(np.all(np.isfinite(m)) for m in ops32):
+                    ops_cache[L] = ops32
                 else:
                     ops_cache[L] = None
             return ops_cache[L]
