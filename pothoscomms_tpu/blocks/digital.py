@@ -15,6 +15,7 @@ from pothoscomms_tpu.core.dtypes import DType
 from pothoscomms_tpu.core.packet import Packet
 from pothoscomms_tpu.core.registry import register_block
 from pothoscomms_tpu.ops import bits as bops
+from pothoscomms_tpu.ops import digital_device as dd
 
 
 class _ConversionBlock(Block):
@@ -42,6 +43,7 @@ class _ConversionBlock(Block):
             raise ValueError("Modulus must be between 1 and 8 inclusive")
         self._mod = int(mod)
         self._update_units()
+        self._bump_fuse_epoch()
 
     def get_bit_order(self) -> str:
         return self._order
@@ -50,12 +52,46 @@ class _ConversionBlock(Block):
         if order not in ("LSBit", "MSBit"):
             raise ValueError("Order must be LSBit or MSBit")
         self._order = order
+        self._bump_fuse_epoch()
 
     def _update_units(self):
         pass
 
     def _convert(self, data: np.ndarray) -> np.ndarray:
         raise NotImplementedError
+
+    # -- auto-fusion protocol (core/fusion.py): stateless regroup ------- #
+    # The pack/unpack loops are pure shift/mask arithmetic
+    # (reference digital/SymbolHelpers.hpp:13-414); the device core
+    # carries the uint8 stream as integer-valued f32 planes
+    # (ops/digital_device.py). Labels pass through with the same
+    # mul/div index rescale as the streaming path, so fused segments
+    # carry them instead of disengaging (label-transparent).
+    def _device_core(self):  # override per direction
+        raise NotImplementedError
+
+    def fuse_ready(self) -> bool:
+        return True
+
+    def fuse_granule(self) -> int:
+        return self.in_unit
+
+    def fuse_ratio(self):
+        return (self.out_unit, self.in_unit)
+
+    def fuse_label_adjust(self, lb):
+        return lb.to_adjusted(self.label_mul, self.label_div)
+
+    def fuse_export(self, channels: int):
+        core = self._device_core()
+
+        def step(carry, x):
+            return carry, core(x)
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass
 
     def _packet_units(self, payload_len: int) -> int:
         """Units to process for a packet payload (rounded up)."""
@@ -128,6 +164,9 @@ class BitsToSymbols(_ConversionDoc, _ConversionBlock):
     def _convert(self, data):
         return bops.bits_to_symbols(data, self._mod, self._order)
 
+    def _device_core(self):
+        return dd.pack_core(self._mod, self._order)
+
 
 @register_block("/comms/symbols_to_bits", "/blocks/symbols_to_bits")
 class SymbolsToBits(_ConversionDoc, _ConversionBlock):
@@ -145,6 +184,9 @@ class SymbolsToBits(_ConversionDoc, _ConversionBlock):
 
     def _convert(self, data):
         return bops.symbols_to_bits(data, self._mod, self._order)
+
+    def _device_core(self):
+        return dd.unpack_core(self._mod, self._order)
 
 
 @register_block("/comms/symbols_to_bytes", "/blocks/symbols_to_bytes")
@@ -165,6 +207,9 @@ class SymbolsToBytes(_ConversionDoc, _ConversionBlock):
     def _convert(self, data):
         return bops.symbols_to_bytes(data, self._mod, self._order)
 
+    def _device_core(self):
+        return dd.repack_core(self._mod, 8, self._order)
+
 
 @register_block("/comms/bytes_to_symbols", "/blocks/bytes_to_symbols")
 class BytesToSymbols(_ConversionDoc, _ConversionBlock):
@@ -183,6 +228,9 @@ class BytesToSymbols(_ConversionDoc, _ConversionBlock):
 
     def _convert(self, data):
         return bops.bytes_to_symbols(data, self._mod, self._order)
+
+    def _device_core(self):
+        return dd.repack_core(8, self._mod, self._order)
 
 
 # ---------------------------------------------------------------------- #
@@ -232,6 +280,7 @@ class SymbolMapper(_SymbolMapDoc, Block):
         self._map = symbol_map
         self._table = table
         self._mask = symbol_map.size - 1
+        self._bump_fuse_epoch()
 
     def work(self):
         port = self.input(0)
@@ -241,6 +290,28 @@ class SymbolMapper(_SymbolMapDoc, Block):
         idx = np.asarray(port.buffer(n)) & self._mask
         port.consume(n)
         self.output(0).post(self._table[idx])
+
+    # -- auto-fusion: K-term one-hot LUT on f32 planes ------------------ #
+    def fuse_ready(self) -> bool:
+        return (self._map.size <= 32 and self.dtype.is_float
+                and self.dtype.scalar.bits == 32)
+
+    def fuse_label_adjust(self, lb):
+        return lb
+
+    def fuse_export(self, channels: int):
+        core = dd.mapper_core(np.asarray(self._map, np.complex128)
+                              if self.dtype.is_complex
+                              else np.real(self._map),
+                              self.dtype.is_complex)
+
+        def step(carry, x):
+            return carry, core(x)
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass
 
 
 @register_block("/comms/symbol_slicer", "/blocks/symbol_slicer")
@@ -266,6 +337,7 @@ class SymbolSlicer(_SymbolMapDoc, Block):
         self._points = symbol_map.astype(np.complex128) if \
             np.iscomplexobj(symbol_map) or self.dtype.is_complex else \
             symbol_map.astype(np.float64)
+        self._bump_fuse_epoch()
 
     def work(self):
         port = self.input(0)
@@ -283,6 +355,29 @@ class SymbolSlicer(_SymbolMapDoc, Block):
         out = np.argmin(d, axis=1).astype(np.uint8)
         port.consume(n)
         self.output(0).post(out)
+
+    # -- auto-fusion: K-term earliest-argmin on f32 planes -------------- #
+    # Distances compute in f32 on device vs f64 on the streaming path:
+    # for points/samples away from decision boundaries the argmin is
+    # identical; exact boundary ties keep the earliest index in both.
+    def fuse_ready(self) -> bool:
+        return (self._map.size <= 32 and self.dtype.is_float
+                and self.dtype.scalar.bits == 32)
+
+    def fuse_label_adjust(self, lb):
+        return lb
+
+    def fuse_export(self, channels: int):
+        core = dd.slicer_core(np.asarray(self._points),
+                              self.dtype.is_complex)
+
+        def step(carry, x):
+            return carry, core(x)
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass
 
 
 # ---------------------------------------------------------------------- #
@@ -312,6 +407,7 @@ class DifferentialEncoder(_DiffDoc, Block):
 
     def set_symbols(self, symbols: int):
         self._symbols = int(symbols)
+        self._bump_fuse_epoch()
 
     def work(self):
         port = self.input(0)
@@ -326,6 +422,23 @@ class DifferentialEncoder(_DiffDoc, Block):
         port.consume(n)
         self.output(0).post(out.astype(np.uint8))
 
+    # -- auto-fusion: blocked exact cumsum-mod-N ------------------------ #
+    def fuse_ready(self) -> bool:
+        return self._symbols <= 256
+
+    def fuse_label_adjust(self, lb):
+        return lb
+
+    def fuse_export(self, channels: int):
+        import jax.numpy as jnp
+
+        carry = jnp.full((channels, 1), np.float32(self._last % self._symbols),
+                         jnp.float32)
+        return carry, dd.diff_encode_core(self._symbols)
+
+    def fuse_import(self, carry) -> None:
+        self._last = int(np.rint(np.asarray(carry)[0, 0]))
+
 
 @register_block("/comms/differential_decoder", "/blocks/differential_decoder")
 class DifferentialDecoder(_DiffDoc, Block):
@@ -338,6 +451,7 @@ class DifferentialDecoder(_DiffDoc, Block):
 
     def set_symbols(self, symbols: int):
         self._symbols = int(symbols)
+        self._bump_fuse_epoch()
 
     def work(self):
         port = self.input(0)
@@ -352,6 +466,22 @@ class DifferentialDecoder(_DiffDoc, Block):
         self._last = int(x[-1])
         port.consume(n)
         self.output(0).post(out.astype(np.uint8))
+
+    # -- auto-fusion: one-sample-carry elementwise ---------------------- #
+    def fuse_ready(self) -> bool:
+        return self._symbols <= 256
+
+    def fuse_label_adjust(self, lb):
+        return lb
+
+    def fuse_export(self, channels: int):
+        import jax.numpy as jnp
+
+        carry = jnp.full((channels, 1), np.float32(self._last), jnp.float32)
+        return carry, dd.diff_decode_core(self._symbols)
+
+    def fuse_import(self, carry) -> None:
+        self._last = int(np.rint(np.asarray(carry)[0, 0]))
 
 
 # ---------------------------------------------------------------------- #
@@ -462,6 +592,8 @@ class _ScramblerBase(Block):
     def set_poly(self, polynomial: int):
         self._poly = int(polynomial)
         self._lfsr = _make_lfsr(self._poly, self._seed)
+        self._lfsr_gen = getattr(self, "_lfsr_gen", 0) + 1
+        self._bump_fuse_epoch()
 
     def poly(self) -> int:
         return self._poly
@@ -469,6 +601,8 @@ class _ScramblerBase(Block):
     def set_seed(self, seed: int):
         self._seed = int(seed)
         self._lfsr = _make_lfsr(self._poly, self._seed)
+        self._lfsr_gen = getattr(self, "_lfsr_gen", 0) + 1
+        self._bump_fuse_epoch()
 
     def seed(self) -> int:
         return self._seed
@@ -477,9 +611,61 @@ class _ScramblerBase(Block):
         if mode not in ("additive", "multiplicative"):
             raise ValueError(f"unknown mode: {mode}")
         self._mode = mode
+        self._bump_fuse_epoch()
 
     def mode(self) -> str:
         return self._mode
+
+    # -- auto-fusion: blocked GF(2) affine state-space (ops/gf2.py) ----- #
+    # The bit-serial Galois recursion becomes exact mod-2 linear
+    # algebra per Lb-sample block — the GF(2) sibling of the blocked
+    # state-space IIR. Carry = the 64 LFSR state bits as f32 planes.
+    _GF2_BLOCK = 1024
+    _gf2_mode = "scramble"  # overridden by Descrambler
+
+    def fuse_ready(self) -> bool:
+        return True
+
+    def fuse_granule(self) -> int:
+        return self._GF2_BLOCK
+
+    def fuse_label_adjust(self, lb):
+        return lb
+
+    def fuse_export(self, channels: int):
+        import jax.numpy as jnp
+        from pothoscomms_tpu.ops import gf2
+
+        mode = ("additive" if self._mode == "additive"
+                else self._gf2_mode)
+        V, Lst, G, Ab, auto = gf2.lfsr_blocked_operators(
+            self._poly, mode, self._GF2_BLOCK)
+        params = (jnp.asarray(V, jnp.float32),
+                  jnp.asarray(Lst, jnp.float32),
+                  jnp.asarray(G, jnp.float32),
+                  jnp.asarray(Ab, jnp.float32))
+        carry = jnp.asarray(
+            np.broadcast_to(gf2.export_state(self._lfsr.data),
+                            (channels, gf2.NBITS)).copy())
+        self._fuse_lfsr_gen = getattr(self, "_lfsr_gen", 0)
+
+        def step(carry, x, V, Lst, G, Ab):
+            import jax.numpy as jnp
+
+            x = x - 2.0 * jnp.floor(x * 0.5)  # streaming path takes x & 1
+            s, y = gf2.lfsr_blocked_step(carry, x, V, Lst, G, Ab, auto)
+            return s, y
+
+        return carry, step, params
+
+    def fuse_import(self, carry) -> None:
+        from pothoscomms_tpu.ops import gf2
+
+        # a set_poly/set_seed while engaged re-seeds the LFSR; the old
+        # device state must not clobber the fresh seed
+        if getattr(self, "_fuse_lfsr_gen", None) == getattr(
+                self, "_lfsr_gen", 0):
+            self._lfsr.data = gf2.import_state(np.asarray(carry)[0])
 
     def set_sync(self, sync_word: str):
         if len(sync_word) > 64:
@@ -513,6 +699,8 @@ class Scrambler(_ScramblerBase):
 
 @register_block("/comms/descrambler", "/blocks/descrambler")
 class Descrambler(_ScramblerBase):
+    _gf2_mode = "descramble"
+
     def work(self):
         port = self.input(0)
         n = port.elements()
@@ -553,6 +741,27 @@ def bitwise_unary_factory(dtype, operation: str = "NOT"):
             self.dtype = dt
             self.setup_input(0, dt)
             self.setup_output(0, dt)
+
+        # <= 16-bit streams ride f32 planes exactly (signed via
+        # two's-complement offset wrap)
+        def fuse_ready(self):
+            return dt.bits <= 16
+
+        def fuse_label_adjust(self, lb):
+            return lb
+
+        def fuse_export(self, channels):
+            core = dd.bitwise_not_core(dt.bits)
+            if dt.is_signed:
+                core = dd.signed_wrap(core, dt.bits)
+
+            def step(carry, x):
+                return carry, core(x)
+
+            return (), step
+
+        def fuse_import(self, carry):
+            pass
 
         def work(self):
             port = self.input(0)
@@ -622,9 +831,32 @@ def const_bitwise_binary_factory(dtype, constant=0, operation: str = "AND"):
 
         def set_constant(self, c):
             self._const = np.asarray(c, dt.np)
+            self._bump_fuse_epoch()
 
         def constant(self):
             return self._const[()]
+
+        def fuse_ready(self):
+            return dt.bits <= 16
+
+        def fuse_label_adjust(self, lb):
+            return lb
+
+        def fuse_export(self, channels):
+            core = dd.bitwise_binary_core(operation, dt.bits)
+            if dt.is_signed:
+                core = dd.signed_wrap(core, dt.bits, nargs=2)
+            cval = np.float32(int(self._const))
+
+            def step(carry, x):
+                import jax.numpy as jnp
+
+                return carry, core(x, jnp.full_like(x, cval))
+
+            return (), step
+
+        def fuse_import(self, carry):
+            pass
 
         def work(self):
             port = self.input(0)
@@ -657,9 +889,31 @@ def bitshift_factory(dtype, operation: str = "LEFTSHIFT", shift_size: int = 0):
             if s >= dt.bits:
                 raise ValueError("shift size must be < dtype width")
             self._shift = int(s)
+            self._bump_fuse_epoch()
 
         def shift_size(self) -> int:
             return self._shift
+
+        def fuse_ready(self):
+            return dt.bits <= 16
+
+        def fuse_label_adjust(self, lb):
+            return lb
+
+        def fuse_export(self, channels):
+            core = dd.bitshift_core(left, self._shift, dt.bits)
+            if dt.is_signed and left:
+                # numpy signed << wraps two's complement; >> is
+                # arithmetic shift == floor division (already exact)
+                core = dd.signed_wrap(core, dt.bits)
+
+            def step(carry, x):
+                return carry, core(x)
+
+            return (), step
+
+        def fuse_import(self, carry):
+            pass
 
         def work(self):
             port = self.input(0)

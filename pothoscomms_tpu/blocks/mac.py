@@ -234,7 +234,12 @@ class SimpleLlc(Block):
             self._sent.popleft()
             self._seq_base = (self._seq_base + 1) & 0xFFFF
             self._expired_count += 1
-        if self._sent and now - self._sent[0][2] > self._resend_timeout:
+        if (self._sent and now - self._sent[0][2] > self._resend_timeout
+                and _RESEND_SENTINEL not in self.input("macIn")._messages):
+            # one sentinel at a time: the executor now polls timers on
+            # EVERY round (not just at quiescence), and stacking
+            # sentinels before work() runs would resend the window
+            # back-to-back, churning the REQ/SYN plane
             self.input("macIn").push_message(_RESEND_SENTINEL)
         return bool(self._sent)
 

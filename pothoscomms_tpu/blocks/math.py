@@ -74,27 +74,42 @@ class ElementwiseBlock(Block):
         """The core applied on the fused (planar float32) path, or None
         if this instance cannot fuse. A real-f32 -> real-f32 core is
         dtype-generic jnp code and runs on the planar block unchanged;
-        complex handling must be supplied as ``planar_core``."""
-        if self._n_in != 1 or self._n_out != 1:
+        complex handling must be supplied as ``planar_core``. N-input
+        instances (Comparator, Beta, ...) may HEAD a fan-in fused
+        segment (core/fusion.py pulls an aligned quantum per port);
+        an int8 output (comparator verdicts) rides as 0/1 f32 and casts
+        on materialization."""
+        if self._n_out != 1:
             return None
-        if self._planar_core is not None:
+        if self._n_in == 1 and self._planar_core is not None:
             return self._planar_core
         f32 = (self.dtype.is_float and self.dtype.bits == 32
                and not self.dtype.is_complex)
-        out_f32 = (self.out_dtype.is_float and self.out_dtype.bits == 32
+        out_ok = ((self.out_dtype.is_float and self.out_dtype.bits == 32
                    and not self.out_dtype.is_complex)
-        if f32 and out_f32:
+                  or (self.out_dtype.is_integer
+                      and not self.out_dtype.is_complex))
+        if f32 and out_ok:
             return self._raw_core
         return None
 
     def fuse_ready(self) -> bool:
         return self._fuse_planar_core() is not None
 
+    def fuse_label_adjust(self, lb):
+        """Elementwise blocks propagate labels verbatim and their
+        compute ignores labels — safe to carry labels through a fused
+        quantum (single-input runs only; fan-in heads stay opaque)."""
+        return lb
+
     def fuse_export(self, channels: int):
         f = self._fuse_planar_core()
-
-        def step(carry, x):
-            return carry, f(x)
+        if self._n_in == 1:
+            def step(carry, x):
+                return carry, jnp.asarray(f(x), jnp.float32)
+        else:
+            def step(carry, xs):
+                return carry, jnp.asarray(f(*xs), jnp.float32)
 
         return (), step
 
@@ -136,6 +151,7 @@ class Arithmetic(Block):
     def __init__(self, dtype, operation: str):
         super().__init__()
         self.dtype = DType.parse(dtype)
+        self._operation = operation
         self._fcn = ew.binary_arith_fn(self.dtype, operation)
         self.setup_input(0, self.dtype)
         self.setup_input(1, self.dtype)  # requires >= 2 inputs
@@ -210,6 +226,43 @@ class Arithmetic(Block):
         if idx < len(self._preload) and self._preload[idx] > 0:
             return
         super().propagate_labels(port, labels)
+
+    # -- auto-fusion protocol: N-ary fan-in HEAD (core/fusion.py) ------- #
+    # The flagship reference block (math/Arithmetic.cpp:204-231): the
+    # fused segment pulls an aligned quantum from EVERY input port and
+    # reduces on device; complex streams fold via planar mul/div.
+    def fuse_ready(self) -> bool:
+        return self.dtype.is_float and self.dtype.scalar.bits == 32
+
+    def fuse_export(self, channels: int):
+        op = self._operation
+        if self.dtype.is_complex:
+            def pfn(a, b):
+                ar, ai = a[..., 0], a[..., 1]
+                br, bi = b[..., 0], b[..., 1]
+                if op == "ADD":
+                    return a + b
+                if op == "SUB":
+                    return a - b
+                if op == "MUL":
+                    return jnp.stack([ar * br - ai * bi,
+                                      ar * bi + ai * br], axis=-1)
+                den = br * br + bi * bi
+                return jnp.stack([(ar * br + ai * bi) / den,
+                                  (ai * br - ar * bi) / den], axis=-1)
+        else:
+            pfn = self._fcn
+
+        def step(carry, xs):
+            acc = xs[0]
+            for x in xs[1:]:
+                acc = pfn(acc, x)
+            return carry, acc
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass
 
 
 # --------------------------------------------------------------------- #

@@ -679,3 +679,18 @@ class CombineComplex(Block):
         re_port.consume(n)
         im_port.consume(n)
         self.output(0).post(out)
+
+    # -- auto-fusion: fan-in HEAD stacking two f32 planes --------------- #
+    def fuse_ready(self) -> bool:
+        return self.scalar.is_float and self.scalar.bits == 32
+
+    def fuse_export(self, channels: int):
+        def step(carry, xs):
+            import jax.numpy as jnp
+
+            return carry, jnp.stack([xs[0], xs[1]], axis=-1)
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass

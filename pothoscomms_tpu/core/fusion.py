@@ -126,8 +126,15 @@ class DeviceChunk:
 
     def __array__(self, dtype=None, copy=None):
         p = np.asarray(self.planar)
-        if self.dtype.is_complex:
+        if self.dtype.is_complex_int:
+            # planar [n, 2] integer-valued f32 -> [n, 2] storage ints
+            out = np.rint(p).astype(self.dtype.np)
+        elif self.dtype.is_complex:
             out = (p[..., 0] + 1j * p[..., 1]).astype(self.dtype.np)
+        elif self.dtype.is_integer:
+            # device cores produce exact integer values, but round
+            # defensively: a f32 3.9999997 must not truncate to 3
+            out = np.rint(p).astype(self.dtype.np)
         else:
             out = p.astype(self.dtype.np)
         if dtype is not None:
@@ -136,12 +143,17 @@ class DeviceChunk:
 
 
 def to_planar_jax(part, dtype: DType):
-    """Any queued part (numpy or DeviceChunk) -> planar f32 jax array."""
+    """Any queued part (numpy or DeviceChunk) -> planar f32 jax array.
+    Integer streams (uint8 bits/symbols, int16 fixed point) ride as
+    integer-VALUED f32 planes: the axon backend executes f32/bf16 HLOs
+    only (core/device.py), and every value < 2^24 is exact in f32."""
     import jax.numpy as jnp
 
     if isinstance(part, DeviceChunk):
         return part.planar
     arr = np.asarray(part)
+    if dtype.is_complex_int:
+        return jnp.asarray(arr.astype(np.float32))  # already [n, 2]
     if dtype.is_complex:
         return jnp.asarray(
             np.stack([arr.real, arr.imag], -1).astype(np.float32))
@@ -151,6 +163,15 @@ def to_planar_jax(part, dtype: DType):
 def _is_fusable(blk) -> bool:
     return (hasattr(blk, "fuse_export") and hasattr(blk, "fuse_ready")
             and len(blk.inputs) == 1 and len(blk.outputs) == 1)
+
+
+def _is_head_fusable(blk) -> bool:
+    """A run HEAD may have several input ports (fan-in: N-ary
+    Arithmetic, Comparator, CombineComplex — reference
+    math/Arithmetic.cpp:204-231): the segment pulls an aligned quantum
+    from every head port. Interior blocks stay 1-in/1-out."""
+    return (hasattr(blk, "fuse_export") and hasattr(blk, "fuse_ready")
+            and len(blk.inputs) >= 1 and len(blk.outputs) == 1)
 
 
 def _is_source_fusable(blk) -> bool:
@@ -177,7 +198,7 @@ def detect_segments(blocks, topology) -> List["FusedSegment"]:
             for port in out.downstream:
                 feeders[id(port)] = feeders.get(id(port), 0) + 1
     for blk in blocks:
-        if id(blk) in used or not (_is_fusable(blk)
+        if id(blk) in used or not (_is_head_fusable(blk)
                                    or _is_source_fusable(blk)):
             continue
         run = [blk]
@@ -209,7 +230,7 @@ def detect_segments(blocks, topology) -> List["FusedSegment"]:
                     for b2 in blocks
                     for out in b2.outputs.values()
                     for port in out.downstream
-                    if port is seg.head
+                    if port in seg.heads
                 )
             segments.append(seg)
     return segments
@@ -243,6 +264,10 @@ def _chain_step(cores):
     passed as jit ARGUMENTS (large operator matrices as closure
     constants choke the remote TPU compiler — parallel/chain.py).
 
+    ``x`` may be a TUPLE of stream arrays for a fan-in head (N-ary
+    Arithmetic etc.) — the head core then receives the tuple of
+    [1, T(, 2)] planars and reduces it to one stream.
+
     The output is flattened to stream layout ([T, 2] planar / [T] real)
     INSIDE the program: any eager (non-jit) array op through the TPU
     relay costs hundreds of ms on a big buffer
@@ -252,7 +277,13 @@ def _chain_step(cores):
 
     @jax.jit
     def step(x, carries, params):
-        x = x[None]  # stream [T(, 2)] -> [C=1, T(, 2)] inside jit
+        # stream [T(, 2)] -> [C=1, T(, 2)] inside jit
+        if isinstance(x, (tuple, list)):
+            x = tuple(v[None] for v in x)
+            if len(x) == 1:
+                x = x[0]
+        else:
+            x = x[None]
         new = []
         for core, c, p in zip(cores, carries, params):
             c2, x = core(c, x, *p)
@@ -291,11 +322,22 @@ class FusedSegment:
         # source-headed segments have no head input port: they are
         # driven by the source block's production quota instead
         self.source = blocks[0] if not blocks[0].inputs else None
-        self.head = None if self.source else blocks[0].input(0)
+        self.heads = ([] if self.source
+                      else list(blocks[0].inputs.values()))
+        self.head = self.heads[0] if len(self.heads) == 1 else None
         self.tail_out = blocks[-1].output(0)
         self.head_dtype = (blocks[0].output(0).dtype if self.source
-                           else self.head.dtype)
+                           else self.heads[0].dtype)
         self.tail_dtype = self.tail_out.dtype
+        # Label-transparent runs: every member's label propagation is a
+        # pure index rescale and its compute ignores labels — the fused
+        # path may then process THROUGH labels, re-emitting them
+        # index-adjusted on the tail instead of disengaging (the
+        # framed-digital-link unlock; single-head runs only).
+        self.label_transparent = (
+            self.head is not None
+            and all(callable(getattr(b, "fuse_label_adjust", None))
+                    for b in blocks))
         # source-headed: per-quantum-shape compiled steps + the source
         # step/params exported at engage
         self._source_step = None
@@ -331,18 +373,29 @@ class FusedSegment:
     def _refresh_geometry(self) -> None:
         """Pull granule and output/input sample ratio. Recomputed at
         engage: FFT bins are fixed, but a rational FIR's M/L (and with
-        them its block granule) can change with reconfiguration."""
+        them its block granule) can change with reconfiguration.
+
+        A block's granule applies at ITS OWN input; with rate-changing
+        members upstream the head-unit requirement is scaled through
+        the cumulative ratio r = p/s reaching that input: a head pull
+        of q reaches the block as q*p/s elements, so q must be a
+        multiple of g_b*s / gcd(g_b*s, p) (which also enforces
+        integrality of every interior edge size via g_b = 1)."""
         import math
         from fractions import Fraction
 
         g = 1
         ratio = Fraction(1)
         for b in self.blocks:
+            gb = 1
             if getattr(b, "fuse_kind", None) == "fft":
-                g = math.lcm(g, b.num_bins)
+                gb = b.num_bins
             fg = getattr(b, "fuse_granule", None)
             if callable(fg):
-                g = math.lcm(g, fg())
+                gb = math.lcm(gb, fg())
+            p, s = ratio.numerator, ratio.denominator
+            need = (gb * s) // math.gcd(gb * s, p)
+            g = math.lcm(g, need)
             fr = getattr(b, "fuse_ratio", None)
             if callable(fr):
                 o, i = fr()
@@ -356,11 +409,12 @@ class FusedSegment:
         return int(free * r.denominator // r.numerator)
 
     def backlog(self) -> int:
-        """Elements available to fuse: head-port queue depth, or the
-        source quota for a source-headed segment."""
+        """Elements available to fuse: head-port queue depth (the
+        aligned minimum over fan-in heads), or the source quota for a
+        source-headed segment."""
         if self.source is not None:
             return self.source._source_quota
-        return self.head.elements()
+        return min(p.elements() for p in self.heads)
 
     def _epoch_sig(self):
         return tuple(b._fuse_epoch for b in self.blocks)
@@ -373,13 +427,14 @@ class FusedSegment:
         return True
 
     def _head_label_limit(self) -> Optional[int]:
-        """Index of the first label queued at the head (None if none).
-        The fused path may process UP TO a label; the labeled region
-        itself runs streaming (sample-accurate label semantics, e.g.
-        Scale's factor-by-label, math/Scale.cpp:104-122)."""
-        if not self.head.labels:
-            return None
-        return min(lb.index for lb in self.head.labels)
+        """Index of the first label queued at any head (None if none).
+        For label-OPAQUE segments the fused path may process UP TO a
+        label; the labeled region itself runs streaming (sample-accurate
+        label semantics, e.g. Scale's factor-by-label,
+        math/Scale.cpp:104-122). Label-TRANSPARENT segments ignore this
+        and carry labels through (see work())."""
+        idxs = [lb.index for p in self.heads for lb in p.labels]
+        return min(idxs) if idxs else None
 
     def _head_retained(self) -> int:
         b = self.blocks[0]
@@ -389,21 +444,24 @@ class FusedSegment:
     def try_engage(self) -> bool:
         if self.engaged or not self._interior_clean():
             return False
-        if self.head is not None and self.head._messages:
+        if any(p._messages for p in self.heads):
             return False
         self._refresh_geometry()
         # engaging must yield at least one label-free pull quantum AFTER
         # the head block's retained state is exported off the queue —
         # otherwise the segment would engage, pull nothing, and
-        # disengage every round while starving the members
+        # disengage every round while starving the members. (A
+        # label-transparent segment carries labels through instead, so
+        # they don't bound the quantum.)
         if self.source is not None:
             avail = self.source._source_quota
         else:
             head_ret = self._head_retained()
-            avail = self.head.elements() - head_ret
-            limit = self._head_label_limit()
-            if limit is not None:
-                avail = min(avail, limit - head_ret)
+            avail = min(p.elements() for p in self.heads) - head_ret
+            if not self.label_transparent:
+                limit = self._head_label_limit()
+                if limit is not None:
+                    avail = min(avail, limit - head_ret)
         if self._bucket(avail) == 0:
             return False
         if not all((b.fuse_source_ready() if b is self.source
@@ -458,10 +516,15 @@ class FusedSegment:
                 fresh_cores.append(None)  # built on cache miss
             else:
                 b = u[1]
-                carry, step = b.fuse_export(1)
+                exp = b.fuse_export(1)
+                carry, step = exp[0], exp[1]
+                # optional third element: device-resident operator
+                # params (e.g. the scrambler's GF(2) block matrices),
+                # passed as jit ARGUMENTS and uploaded once at export
+                bparams = tuple(exp[2]) if len(exp) > 2 else ()
                 carries.append(carry)
                 imports.append(lambda c, b=b: b.fuse_import(c))
-                fresh_cores.append(lambda c, x, _s=step: _s(c, x))
+                fresh_cores.append((step, bparams))
         self.carries = tuple(carries)
         self._imports = imports
         self._epochs = self._epoch_sig()
@@ -479,8 +542,9 @@ class FusedSegment:
                         cores.append(step)
                         params.append(p)
                     else:
-                        cores.append(core)
-                        params.append(())
+                        step, bp = core
+                        cores.append(step)
+                        params.append(bp)
                 cached = (cores, tuple(params))
                 self._step_cache[ckey] = cached
             self._tail_cores, self._tail_params = cached
@@ -496,8 +560,9 @@ class FusedSegment:
                         cores.append(step)
                         params.append(p)
                     else:
-                        cores.append(core)
-                        params.append(())
+                        step, bp = core
+                        cores.append(step)
+                        params.append(bp)
                 cached = (_chain_step(cores), tuple(params))
                 if len(self._step_cache) > 16:
                     self._step_cache.clear()
@@ -596,16 +661,29 @@ class FusedSegment:
             q *= 4
         return q if q >= floor else 0
 
-    def _pull(self, n: int):
-        """First n queued elements as one flat planar device array
-        ([T(, 2)]; the channel axis is added inside the jitted step —
-        eager array ops through the relay are very expensive, so the
-        multi-part case concatenates through a jit-cached kernel)."""
-        parts = self.head.take(n)
-        planars = [to_planar_jax(p, self.head_dtype) for p in parts]
+    def _pull(self, port, n: int):
+        """First n queued elements of ``port`` as one flat planar
+        device array ([T(, 2)]; the channel axis is added inside the
+        jitted step — eager array ops through the relay are very
+        expensive, so the multi-part case concatenates through a
+        jit-cached kernel)."""
+        parts = port.take(n)
+        planars = [to_planar_jax(p, port.dtype) for p in parts]
         if len(planars) == 1:
             return planars[0]
         return _concat_fn(len(planars))(*planars)
+
+    def _collect_head_labels(self, q: int):
+        """Remove and return head labels inside the pull quantum (label
+        -transparent segments re-emit them adjusted on the tail).
+        Removing them BEFORE take() keeps the port's consume accounting
+        from auto-propagating them into the interior ports."""
+        port = self.head
+        taken = [lb for lb in port.labels if lb.index < q]
+        if taken:
+            port.labels = [lb for lb in port.labels if lb.index >= q]
+            taken.sort(key=lambda lb: lb.index)
+        return taken
 
     def work(self) -> None:
         if not self.engaged:
@@ -613,19 +691,21 @@ class FusedSegment:
         if self.source is not None:
             self._work_source()
             return
-        port = self.head
-        if port._messages or self._epoch_sig() != self._epochs:
+        if (any(p._messages for p in self.heads)
+                or self._epoch_sig() != self._epochs):
             # messages demand the streaming path; reconfig demands new
             # cores — both via disengage (re-engage follows once the
             # queue is clean and over threshold again)
             self.disengage()
             return
-        avail = port.elements()
-        limit = self._head_label_limit()
-        if limit is not None:
-            # fused processing runs up to the label; the labeled region
-            # streams with exact per-sample semantics
-            avail = min(avail, limit)
+        avail = min(p.elements() for p in self.heads)
+        limit = None
+        if not self.label_transparent:
+            limit = self._head_label_limit()
+            if limit is not None:
+                # fused processing runs up to the label; the labeled
+                # region streams with exact per-sample semantics
+                avail = min(avail, limit)
         free = self.tail_out.free_space()
         cap = avail if free is None else min(
             avail, max(self._free_to_input_units(free), 0))
@@ -641,16 +721,32 @@ class FusedSegment:
                 # stream. Withhold the label-free backlog behind it so
                 # the streaming drain stays bounded and the backlog
                 # re-engages next round.
-                if self.stash_safe:
+                port = self.head
+                if self.stash_safe and port is not None:
                     last = max(lb.index + max(lb.width, 1)
                                for lb in port.labels)
                     if port.elements() > last:
                         self.stash = port.split_tail(last)
                 self.disengage()
             return
-        x = self._pull(q)
+        labels = (self._collect_head_labels(q)
+                  if self.label_transparent else None)
+        if len(self.heads) == 1:
+            x = self._pull(self.heads[0], q)
+        else:
+            x = tuple(self._pull(p, q) for p in self.heads)
         y, self.carries = self.step(x, self.carries, self.params)
-        self.tail_out.post(DeviceChunk(y, self.tail_dtype))
+        out_labels = None
+        if labels:
+            # each member's index rescale applied in sequence — the
+            # same per-block to_adjusted walk the streaming path takes
+            out_labels = []
+            for lb in labels:
+                cur = lb
+                for b in self.blocks:
+                    cur = b.fuse_label_adjust(cur)
+                out_labels.append(cur)
+        self.tail_out.post(DeviceChunk(y, self.tail_dtype), out_labels)
         self.fused_elements += q
 
     def _work_source(self) -> None:

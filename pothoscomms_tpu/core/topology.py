@@ -199,6 +199,23 @@ class Topology:
                 for part in seg.stash:
                     seg.head.push_buffer(part)
                 seg.stash = None
+        # LOAD-INDEPENDENT timer delivery: fire due timers every round,
+        # not only at quiescence — the reference LLC's monitor thread
+        # ticks every 1 ms regardless of scheduler load
+        # (mac/SimpleLlc.cpp:140-162); without this, sustained streaming
+        # starves ARQ retransmission indefinitely.
+        now = None
+        for blk in self.blocks:
+            ntd = getattr(blk, "next_timer_deadline", None)
+            if ntd is None:
+                continue
+            deadline = ntd()
+            if deadline is None:
+                continue
+            if now is None:
+                now = time.monotonic()
+            if deadline <= now:
+                blk.poll_timers()
         progressed = self._state_fingerprint() != before
         if not progressed:
             for seg in self._segments:

@@ -182,17 +182,23 @@ def diff_encode_core(symbols: int):
 
 
 def diff_decode_core(symbols: int):
-    """out[i] = (in[i] - in[i-1] + N) mod N in C uint32 semantics
-    (reference DifferentialDecoder.cpp:62-65): for 0 <= in < N the
-    uint32 wrap never fires, so the f32 form is exact."""
+    """out[i] = ((in[i] - in[i-1] + N) mod 2^32) mod N — the C uint32
+    semantics of the reference (DifferentialDecoder.cpp:62-65). For
+    well-formed streams (values < N) the wrap never fires; for
+    out-of-range uint8 inputs the wrap residue R = 2^32 mod N is folded
+    in exactly (2^32 itself is not f32-representable next to small v)."""
     N = float(symbols)
+    R = float((1 << 32) % symbols)
 
     def core(carry, x):
         import jax.numpy as jnp
 
         prev = jnp.concatenate([carry, x[:, :-1]], axis=1)
-        y = x - prev + N
-        y = y - N * jnp.floor(y / N)
+        v = x - prev + N
+        m = v - N * jnp.floor(v / N)  # floor-mod, exact for |v| < 2^24
+        wrapped = m + R
+        wrapped = wrapped - N * jnp.floor(wrapped / N)
+        y = jnp.where(v >= 0, m, wrapped)
         return x[:, -1:], y
 
     return core
@@ -211,6 +217,23 @@ def from_bit_planes(planes):
         term = p * np.float32(1 << j)
         acc = term if acc is None else acc + term
     return acc
+
+
+def signed_wrap(core, bits: int, nargs: int = 1):
+    """Run an unsigned bit-plane core on SIGNED streams: two's
+    complement maps value v < 0 to v + 2^bits (exact in f32 for bits <=
+    16), and the result maps back (y >= 2^(bits-1) -> y - 2^bits)."""
+    span = np.float32(1 << bits)
+    half = np.float32(1 << (bits - 1))
+
+    def wrapped(*xs):
+        import jax.numpy as jnp
+
+        us = [jnp.where(x < 0, x + span, x) for x in xs[:nargs]]
+        y = core(*us)
+        return jnp.where(y >= half, y - span, y)
+
+    return wrapped
 
 
 def bitwise_not_core(bits: int):

@@ -255,3 +255,46 @@ def test_arq_zero_loss_under_heavy_drop(drop, window, count):
         assert_buffers_equal(exp, got.payload)
     # loss recovery actually happened (the links really dropped packets)
     assert llcA.getResendCount() > 0 and llcB.getResendCount() > 0
+
+
+def test_timer_fires_under_sustained_load():
+    """VERDICT r4 #5: the reference LLC's monitor thread ticks every
+    1 ms regardless of scheduler load (mac/SimpleLlc.cpp:140-162); our
+    executor must fire due timers EVERY round, not only at quiescence.
+    A busy side-stream keeps every round progressing (quiescence never
+    reached), the first data frame is dropped, and retransmission must
+    still land within ~2x the resend timeout."""
+    import time
+
+    rng = np.random.default_rng(21)
+    payload = rng.integers(0, 256, 40).astype(np.uint8)
+    dropA2B = PacketDropper({0})  # first data frame lost
+    dropB2A = PacketDropper(set())
+    topo, (feedA, _), (_, collB), (llcA, llcB), macs = build_two_stacks(
+        dropA2B, dropB2A, seed=13
+    )
+    resend = 0.05
+    llcA.set_resend_timeout(resend)
+    llcA.set_expire_timeout(10.0)
+    feedA.feed_packet(Packet(payload.copy()))
+
+    # a concurrent bulk stream through the same topology: every
+    # scheduling round makes progress, so the idle-only timer path
+    # would starve the ARQ plane indefinitely
+    busy_feed = FeederSource("float32")
+    busy_sink = CollectorSink("float32")
+    topo.connect(busy_feed, 0, busy_sink, 0)
+    topo.commit()
+
+    t0 = time.monotonic()
+    delivered_at = None
+    while time.monotonic() - t0 < 3.0:
+        busy_feed.feed_buffer(np.zeros(256, np.float32))
+        topo._run_once()
+        if collB.packets:
+            delivered_at = time.monotonic() - t0
+            break
+    assert delivered_at is not None, \
+        "retransmission starved under sustained load"
+    assert delivered_at <= 2 * resend + 0.05, delivered_at
+    assert llcA.getResendCount() >= 1
