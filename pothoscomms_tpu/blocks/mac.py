@@ -187,6 +187,9 @@ class SimpleLlc(Block):
         self._req_seq = 0
         # deque of [packet, expire_time, last_sent_time]
         self._sent: Deque[list] = collections.deque()
+        # stale-REQ escalation state (see the REQ handler)
+        self._stale_req = None
+        self._stale_count = 0
         self.set_resend_timeout(0.01)
         self.set_expire_timeout(0.1)
         self.register_probe("getResendCount")
@@ -300,16 +303,45 @@ class SimpleLlc(Block):
                     self._req_seq = (self._req_seq + 1) & 0xFFFF
                 self._post_control(self._req_seq, _REQ)
             if control & _REQ:
-                # unwrapped uint16 compare, exactly like the reference
-                # (SimpleLlc.cpp:255 — wraparound causes a SYN resync)
-                if nonce < self._seq_base or nonce > self._seq_out:
-                    self._post_control(self._seq_base, _SYN)
-                else:
-                    while self._seq_base < nonce:
-                        self._seq_base += 1
+                # 16-bit serial-number arithmetic (RFC1982 style). The
+                # reference's unwrapped compare (SimpleLlc.cpp:255)
+                # resyncs spuriously on a stale REQ or at the 2^16
+                # wrap, and a resync rewinds the receiver past frames
+                # it already delivered (duplicate delivery) — with
+                # timers now firing every round that window is
+                # routinely hit under loss. Signed serial distance:
+                # stale acks (behind seq_base) are IGNORED, in-window
+                # acks advance, and only a genuinely-ahead REQ (peer
+                # restart) forces the SYN resync.
+                sdist = ((nonce - self._seq_base + 0x8000) & 0xFFFF) \
+                    - 0x8000
+                outstanding = (self._seq_out - self._seq_base) & 0xFFFF
+                stale_slack = max(2 * self._window_size, 8)
+                if 0 < sdist <= outstanding:
+                    self._stale_req = None
+                    for _ in range(sdist):
                         if self._sent:
                             self._sent.popleft()
-                    self._seq_base &= 0xFFFF
+                    self._seq_base = (self._seq_base + sdist) & 0xFFFF
+                elif -stale_slack <= sdist <= 0:
+                    # recently-acked region: a REQ delayed behind
+                    # in-flight acks — ignoring it avoids the rewind,
+                    # but the SAME nonce repeating means the peer is
+                    # genuinely stuck (e.g. a startup draw landed in
+                    # the stale band): escalate to the SYN resync
+                    if self._stale_req == nonce:
+                        self._stale_count += 1
+                        if self._stale_count > 64:
+                            self._post_control(self._seq_base, _SYN)
+                            self._stale_req = None
+                    else:
+                        self._stale_req = nonce
+                        self._stale_count = 1
+                else:
+                    # far out of window: peer restarted or first
+                    # contact (random starting seq) — resync
+                    self._stale_req = None
+                    self._post_control(self._seq_base, _SYN)
 
         if len(self._sent) >= self._window_size:
             return  # flow controlled
