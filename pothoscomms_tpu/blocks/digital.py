@@ -970,6 +970,7 @@ class ByteOrderBlock(Block):
         if order not in _BYTE_ORDER_OPTS:
             raise ValueError(f"invalid byte order {order!r}")
         self._order = order
+        self._bump_fuse_epoch()
 
     def get_byte_order(self) -> str:
         return self._order
@@ -995,3 +996,26 @@ class ByteOrderBlock(Block):
         out = buf.byteswap() if self._should_swap() else buf.copy()
         port.consume(n)
         self.output(0).post(out)
+
+    # -- auto-fusion: 16-bit endian swap on integer-f32 planes ---------- #
+    # (32/64-bit elements exceed f32 integer exactness and stream on
+    # the host instead; complex_int16 swaps each plane.)
+    def fuse_ready(self) -> bool:
+        return self.dtype.is_integer and self.dtype.scalar.bits == 16
+
+    def fuse_label_adjust(self, lb):
+        return lb
+
+    def fuse_export(self, channels: int):
+        swap = self._should_swap()
+        core = dd.byteswap16_core()
+        if self.dtype.is_signed:
+            core = dd.signed_wrap(core, 16)
+
+        def step(carry, x):
+            return carry, (core(x) if swap else x)
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass

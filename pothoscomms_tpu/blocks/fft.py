@@ -130,15 +130,34 @@ class FFTBlock(Block):
     def device_core(self, channels: int):
         """Fused-chain core (terminal stage): windowed MXU FFT. Input
         [C, T, 2] planar with T a multiple of numBins; output
-        [C, T/numBins, numBins, 2] spectra."""
+        [C, T/numBins, numBins, 2] spectra. The complex_int16 path
+        computes in f32 and applies the kiss FIXED_POINT contract
+        (1/N both directions) + rounding INSIDE the program, so the
+        integer-valued plane materializes bit-identically to the
+        streaming path (VERDICT r4 #7: fusion past float32)."""
         from pothoscomms_tpu.parallel.fft import fft_planar
 
         nb, inverse = self.num_bins, self.inverse
+        fixed = self.dtype.is_integer
+        # bit-exact parity with the streaming path on EITHER backend:
+        # the chip lane streams through fft_planar too, but the CPU
+        # lane's streaming path uses complex64 jnp.fft (_fft_int16) —
+        # match it so round() sees identical values
+        cpu = jax.default_backend() == "cpu"
 
         def step(carry, x):
             c, t, _ = x.shape
             frames = x.reshape(c * (t // nb), nb, 2)
-            spec = fft_planar(frames, nb, inverse)
+            if fixed and cpu:
+                z = frames[..., 0] + 1j * frames[..., 1]
+                zf = jnp.fft.ifft(z, axis=-1) if inverse \
+                    else jnp.fft.fft(z, axis=-1) / nb
+                spec = jnp.stack([jnp.round(zf.real), jnp.round(zf.imag)],
+                                 axis=-1)
+            else:
+                spec = fft_planar(frames, nb, inverse)
+                if fixed:
+                    spec = jnp.round(spec / np.float32(nb))
             return carry, spec.reshape(c, t // nb, nb, 2)
 
         return (), step
@@ -152,32 +171,33 @@ class FFTBlock(Block):
     def fuse_ready(self) -> bool:
         # the queued sub-frame leftover becomes the carry; a full frame
         # still queued (e.g. congestion skipped work()) must drain first
-        return (self.dtype.is_float and self.dtype.bits == 32
+        return (self.dtype.bits in (16, 32)
                 and self.input(0).elements() < self.num_bins)
 
     def fuse_export(self, channels: int):
         """Streaming state = the sub-frame leftover queued on the input
         port (work() only consumes whole numBins windows); it becomes a
         [C, r, 2] carry so fused quanta stay frame-phase-accurate."""
-        from pothoscomms_tpu.parallel.fft import fft_planar
-
         port = self.input(0)
         r = port.elements()
-        nb, inverse = self.num_bins, self.inverse
+        nb = self.num_bins
         assert r < nb
         if r == 0:
             return self.device_core(channels)
         parts = port.take(r)
         arr = np.concatenate([np.asarray(p) for p in parts])
-        left = jnp.asarray(np.stack(
-            [arr.real, arr.imag], -1).astype(np.float32))[None]
+        if self.dtype.is_integer:  # storage already [r, 2] int16
+            left = jnp.asarray(arr.astype(np.float32))[None]
+        else:
+            left = jnp.asarray(np.stack(
+                [arr.real, arr.imag], -1).astype(np.float32))[None]
+        _, core = self.device_core(channels)
 
         def step(carry, x):
             ext = jnp.concatenate([carry, x], axis=1)  # [C, r+T, 2]
             m = ext.shape[1] // nb
-            frames = ext[:, : m * nb].reshape(-1, nb, 2)
-            spec = fft_planar(frames, nb, inverse)
-            return ext[:, m * nb:], spec.reshape(x.shape[0], m, nb, 2)
+            _, spec = core(None, ext[:, : m * nb])
+            return ext[:, m * nb:], spec
 
         return left, step
 
@@ -187,5 +207,8 @@ class FFTBlock(Block):
         c = np.asarray(carry)[0]
         if c.shape[0] == 0:
             return
-        arr = (c[..., 0] + 1j * c[..., 1]).astype(self.dtype.np)
+        if self.dtype.is_integer:
+            arr = np.rint(c).astype(self.dtype.np)
+        else:
+            arr = (c[..., 0] + 1j * c[..., 1]).astype(self.dtype.np)
         self.input(0).push_front_buffer(arr)

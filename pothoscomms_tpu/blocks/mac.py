@@ -190,6 +190,7 @@ class SimpleLlc(Block):
         # stale-REQ escalation state (see the REQ handler)
         self._stale_req = None
         self._stale_count = 0
+        self._last_syn = None
         self.set_resend_timeout(0.01)
         self.set_expire_timeout(0.1)
         self.register_probe("getResendCount")
@@ -293,7 +294,12 @@ class SimpleLlc(Block):
             if port != self._port:
                 continue
             if control & _SYN:
-                self._req_seq = nonce
+                # a duplicate of a recent SYN (nonce a little BEHIND
+                # the live req_seq) must not rewind delivery; a genuine
+                # peer restart lands far off and is adopted
+                back = (self._req_seq - nonce) & 0xFFFF
+                if not (0 < back <= max(2 * self._window_size, 8)):
+                    self._req_seq = nonce
             if control & _PSH:
                 if nonce == self._req_seq:
                     data_out.post_message(

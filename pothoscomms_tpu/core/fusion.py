@@ -581,6 +581,8 @@ class FusedSegment:
             return False
         if fft.inverse or not fir.dtype.is_complex:
             return False
+        if fir.dtype.is_integer or fft.dtype.is_integer:
+            return False  # int16 pairs need per-block Q-format rounding
         k = len(fir._taps)
         pp = min(128, fft.num_bins)
         if not (1 < k <= pp + 1):

@@ -423,14 +423,23 @@ def envelope_blocked(xabs, env0, attack_gain, release_gain,
     gr = release_gain
     P, T = xabs.shape
     nb = T // L
-    # xfull[p, W + t] = x[p, t]; the first W entries are the env0 fixed
-    # point so block 0's warmup is exact
+    # W rounded UP to a whole number of L-blocks: the overlapping
+    # window tensor is then built from K+1 SHIFTED VIEWS of a plain
+    # [P, nb+K, L] reshape — zero gathers. (The previous fancy-index
+    # build xfull[:, idx] lane-padded every element ~x128 on this
+    # backend and cost 861 ms of the FM chain's 32 Mi quantum; the
+    # slice build plus the scan is ~25 ms — benches/probe_r5_env2.py.)
+    # A longer warmup only tightens the 2^-25 convergence bound.
+    K = -(-W // L)
+    Wr = K * L
+    # xfull[p, Wr + t] = x[p, t]; the first Wr entries are the env0
+    # fixed point so block 0's warmup is exact
     xfull = jnp.concatenate(
-        [jnp.broadcast_to(env0[:, None], (P, W)), xabs], axis=1)
-    idx = (jnp.arange(nb, dtype=jnp.int32)[:, None] * L
-           + jnp.arange(W + L, dtype=jnp.int32)[None, :])
-    xb = xfull[:, idx]                      # [P, nb, W+L]
-    xt = jnp.moveaxis(xb, 2, 0)             # [W+L, P, nb]
+        [jnp.broadcast_to(env0[:, None], (P, Wr)), xabs], axis=1)
+    rows = xfull.reshape(P, nb + K, L)
+    wins = jnp.stack([rows[:, k:k + nb] for k in range(K + 1)], axis=0)
+    # [K+1, P, nb, L] -> [K+1, L, P, nb] -> [(K+1)*L = Wr+L, P, nb]
+    xt = jnp.transpose(wins, (0, 3, 1, 2)).reshape((K + 1) * L, P, nb)
     e_init = xt[0]                          # converges; exact for row 0
 
     def step(env, xn):
@@ -439,6 +448,6 @@ def envelope_blocked(xabs, env0, attack_gain, release_gain,
         return env, env
 
     env_f, ys = jax.lax.scan(step, e_init, xt)
-    y = jnp.transpose(ys[W:], (1, 2, 0))    # [L, P, nb] -> [P, nb, L]
+    y = jnp.transpose(ys[Wr:], (1, 2, 0))   # [L, P, nb] -> [P, nb, L]
     y = y.reshape(P, T)
     return y, env_f[:, -1]

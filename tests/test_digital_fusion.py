@@ -373,3 +373,36 @@ def test_full_modem_chain_fused_bit_exact():
     # ONE segment spanning all six blocks
     assert len(topo._segments) == 1
     assert len(topo._segments[0].blocks) == 6
+
+
+# --------------------------------------------------------------------- #
+# fusion past float32 (VERDICT r4 #7): int16 planes
+# --------------------------------------------------------------------- #
+def test_int16_fft_chain_fused_bit_exact():
+    """complex_int16 byte_order -> FFT engages as a fused segment; the
+    int16 plane computes in f32 and rounds per the kiss FIXED_POINT
+    contract, bit-identical to the streaming path."""
+    nb = 64
+
+    def build():
+        bo = BlockRegistry.make("/comms/byte_order", "complex_int16")
+        bo.set_byte_order("Swap Order")
+        fft = BlockRegistry.make("/comms/fft", "complex_int16", nb, False)
+        return [bo, fft]
+
+    n = 8 * THRESH
+    x = rng.integers(-500, 500, (n, 2)).astype(np.int16)
+    f, s, topo = assert_parity(build, [x], dtype_in="complex_int16",
+                               dtype_out="complex_int16")
+    assert topo._segments[0].fused_elements > 0
+
+
+def test_int16_byte_order_chain_fused():
+    def build():
+        a = BlockRegistry.make("/comms/byte_order", "uint16")
+        a.set_byte_order("Swap Order")
+        b = BlockRegistry.make("/comms/bitshift", "uint16", "RIGHTSHIFT", 3)
+        return [a, b]
+
+    x = rng.integers(0, 1 << 16, 30000).astype(np.uint16)
+    assert_parity(build, [x], dtype_in="uint16", dtype_out="uint16")
