@@ -183,14 +183,19 @@ class FFTBlock(Block):
         nb = self.num_bins
         assert r < nb
         if r == 0:
-            return self.device_core(channels)
-        parts = port.take(r)
-        arr = np.concatenate([np.asarray(p) for p in parts])
-        if self.dtype.is_integer:  # storage already [r, 2] int16
-            left = jnp.asarray(arr.astype(np.float32))[None]
+            # still use the leftover-capable step: an upstream COLD
+            # FIR's first quantum is K-1 short, so mid-stream lengths
+            # are not always frame-aligned (the sub-frame tail rides
+            # the carry; its shape re-keys the step cache)
+            left = jnp.zeros((channels, 0, 2), jnp.float32)
         else:
-            left = jnp.asarray(np.stack(
-                [arr.real, arr.imag], -1).astype(np.float32))[None]
+            parts = port.take(r)
+            arr = np.concatenate([np.asarray(p) for p in parts])
+            if self.dtype.is_integer:  # storage already [r, 2] int16
+                left = jnp.asarray(arr.astype(np.float32))[None]
+            else:
+                left = jnp.asarray(np.stack(
+                    [arr.real, arr.imag], -1).astype(np.float32))[None]
         _, core = self.device_core(channels)
 
         def step(carry, x):

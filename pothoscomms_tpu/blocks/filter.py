@@ -364,16 +364,50 @@ class FIRFilter(Block):
                 and len(self._taps) <= 128
                 and self._eob_samps_left == 0
                 and self.dtype.is_float and self.dtype.bits == 32
-                and self.input(0).elements() >= self._K - 1)
+                and (self.input(0).elements() >= self._K - 1
+                     or self.fuse_cold_start()))
+
+    def fuse_cold_start(self) -> bool:
+        """True when this FIR may engage with an EMPTY input port (no
+        K-1 retention yet): the fused core starts from a zero-length
+        carry and drops the first K-1 outputs in-program — exactly the
+        streaming semantics where the first K-1 inputs produce nothing
+        (reference FIRFilter.cpp:305). This lets a freshly-committed
+        source-headed chain engage on round one instead of paying a
+        full streaming warmup round through every member (each host
+        streaming hop costs ~0.5-2.5 s on this relay)."""
+        return (self._M == 1 and self._L == 1
+                and self.input(0).elements() == 0)
 
     def fuse_export(self, channels: int):
         """Streaming state -> device carry: the K-1 history samples are
         the first K-1 queued elements (reference FIRFilter.cpp:305 keeps
-        them unconsumed); consume them into the fused carry."""
+        them unconsumed); consume them into the fused carry. With an
+        empty port (cold start) the carry starts zero-length and the
+        step pads/drops until the stream warms it to K-1."""
         carry0, step = self.device_core(channels)
         k1 = self._K - 1
         if k1 == 0:
             return carry0, step
+        avail = self.input(0).elements()
+        if avail == 0 and self._M == 1 and self._L == 1:
+            suffix = (2,) if self.dtype.is_complex else ()
+            empty = jnp.zeros((channels, 0) + suffix, jnp.float32)
+
+            def cold_step(carry, x, _step=step, _k1=k1):
+                # carry length is static per trace: a short carry means
+                # the stream hasn't produced K-1 samples yet — pad with
+                # zeros and drop the corresponding first outputs
+                have = carry.shape[1]
+                if have == _k1:
+                    return _step(carry, x)
+                pad = jnp.zeros(
+                    (x.shape[0], _k1 - have) + x.shape[2:], x.dtype)
+                hist2, y = _step(
+                    jnp.concatenate([pad, carry], axis=1), x)
+                return hist2, y[:, _k1 - have:]
+
+            return empty, cold_step
         parts = self.input(0).take(k1)
         hist = np.concatenate([np.asarray(p) for p in parts])
         if self.dtype.is_complex:

@@ -345,6 +345,7 @@ class FusedSegment:
         self._tail_cores = None
         self._tail_params = None
         self.engaged = False
+        self._cold_extra = 0
         self.step = None
         self.carries = None
         self.params = None
@@ -365,6 +366,13 @@ class FusedSegment:
         # precondition for the stash being newest data in the port
         # (set by detect_segments)
         self.stash_safe = False
+        # a cold FIR->FFT adjacency engaged as singles; after the first
+        # quantum warms the history carry, cycle the engagement so the
+        # pair peephole compiles the combined operator (see try_engage)
+        self._pair_pending = False
+        # head-unit over-pull of the FIRST quantum after a cold-start
+        # engage (source-headed; see try_engage)
+        self._cold_extra = 0
         # observability
         self.engage_count = 0
         self.fused_elements = 0
@@ -472,11 +480,38 @@ class FusedSegment:
         # absorbed by export; others: nothing). Residual unprocessed
         # backlog there would be bypassed by the fused path and replay
         # out of order on disengage — stream until it drains instead.
-        for b in self.blocks[1:]:
+        #
+        # COLD START (source-headed segments only): a FIR with an EMPTY
+        # port engages before any streaming round — its carry starts
+        # zero-length, the FIRST quantum over-pulls by K-1 (in head
+        # units through the cumulative rate ratio) and the core drops
+        # the K-1 zero-history outputs in-program, so every later
+        # quantum stays ladder- and frame-aligned.
+        from fractions import Fraction
+
+        cold_extra = Fraction(0)
+        ratio = Fraction(1)
+        for b in self.blocks[1:] if self.source is not None else \
+                self.blocks:
             retained = (b.fuse_retained()
                         if hasattr(b, "fuse_retained") else 0)
-            if retained is not None and b.input(0).elements() != retained:
-                return False
+            port0 = (next(iter(b.inputs.values()))
+                     if b.inputs and b is not self.blocks[0] else None)
+            if (port0 is not None and retained is not None
+                    and port0.elements() != retained):
+                if (self.source is not None and port0.elements() == 0
+                        and getattr(b, "fuse_cold_start",
+                                    lambda: False)()):
+                    cold_extra += retained / ratio
+                else:
+                    return False
+            fr = getattr(b, "fuse_ratio", None)
+            if callable(fr):
+                o, i = fr()
+                ratio *= Fraction(o, i)
+        if cold_extra.denominator != 1:
+            return False  # K-1 not expressible in head units: warm up
+        self._cold_extra = int(cold_extra)
         # plan the unit list (pair peephole) WITHOUT side effects, then
         # export carries; the compiled step + device params are cached
         # by (epochs, carry shapes) so a re-engage neither re-traces nor
@@ -484,18 +519,26 @@ class FusedSegment:
         stream_blocks = (self.blocks[1:] if self.source is not None
                          else self.blocks)
         units: List = []  # ("pair", fir, fft) | ("single", b)
+        self._pair_pending = False
         i = 0
         while i < len(stream_blocks):
             b = stream_blocks[i]
             nxt = stream_blocks[i + 1] if i + 1 < len(stream_blocks) else None
             if (nxt is not None and getattr(b, "fuse_kind", None) == "fir"
-                    and getattr(nxt, "fuse_kind", None) == "fft"
-                    and self._pair_eligible(b, nxt)):
-                units.append(("pair", b, nxt))
-                i += 2
-            else:
-                units.append(("single", b))
-                i += 1
+                    and getattr(nxt, "fuse_kind", None) == "fft"):
+                if self._pair_eligible(b, nxt):
+                    units.append(("pair", b, nxt))
+                    i += 2
+                    continue
+                if (getattr(b, "fuse_cold_start", lambda: False)()
+                        and self._pair_eligible(b, nxt, cold_ok=True)):
+                    # a COLD FIR can't join the combined operator (its
+                    # history export needs K-1 queued samples); engage
+                    # with single cores now and cycle to the pair after
+                    # the first quantum warms the carry (see work())
+                    self._pair_pending = True
+            units.append(("single", b))
+            i += 1
         carries: List = []
         imports: List = []
         fresh_cores: List = []
@@ -573,10 +616,12 @@ class FusedSegment:
         return True
 
     @staticmethod
-    def _pair_eligible(fir, fft) -> bool:
+    def _pair_eligible(fir, fft, cold_ok: bool = False) -> bool:
         """Combined FIR*DFT operator preconditions (no side effects):
         1:1 rate, complex stream, 1 < K <= min(128, nbins)+1, forward
-        FFT, no mid-frame leftover phase."""
+        FFT, no mid-frame leftover phase, K-1 history present (a cold
+        FIR engages with single cores first; ``cold_ok`` checks
+        everything EXCEPT the history for the pending-pair cycle)."""
         if fir._M != 1 or fir._L != 1:
             return False
         if fft.inverse or not fir.dtype.is_complex:
@@ -587,6 +632,8 @@ class FusedSegment:
         pp = min(128, fft.num_bins)
         if not (1 < k <= pp + 1):
             return False
+        if not cold_ok and fir.input(0).elements() < k - 1:
+            return False  # cold FIR: fuse_export cannot take history
         return fft.input(0).elements() == 0
 
     def _build_pair_core(self, fir, fft):
@@ -637,6 +684,7 @@ class FusedSegment:
         for imp, carry in zip(self._imports, self.carries):
             imp(carry)
         self.engaged = False
+        self._cold_extra = 0
         self.step = None
         self.carries = None
         self.params = None
@@ -750,6 +798,10 @@ class FusedSegment:
                 out_labels.append(cur)
         self.tail_out.post(DeviceChunk(y, self.tail_dtype), out_labels)
         self.fused_elements += q
+        if self._pair_pending:
+            self._pair_pending = False
+            self.disengage()
+            self.try_engage()
 
     def _work_source(self) -> None:
         """One fused quantum of a source-headed segment: generate q
@@ -763,9 +815,25 @@ class FusedSegment:
         free = self.tail_out.free_space()
         cap = avail if free is None else min(
             avail, max(self._free_to_input_units(free), 0))
-        q = self._bucket(cap)
+        extra = self._cold_extra
+        q = self._bucket(max(cap - extra, 0))
         if q == 0:
-            return
+            # Source-headed segments are quota-driven: no more data is
+            # coming, so the residual below the MIN_PULL floor drains
+            # through SUB-FLOOR ladder rungs (granule*4^k) instead of
+            # disengaging into the slow streaming path — this kills the
+            # per-run disengage/re-engage churn (WAVECHAIN_r04.json
+            # "engages: 2") while the rung shapes stay on the same
+            # base-4 ladder (bounded compile count).
+            if cap >= self.granule and free != 0:
+                g = self.granule
+                q = g
+                while q * 4 <= cap:
+                    q *= 4
+            else:
+                return
+        q += extra  # cold-start: the first quantum covers K-1 history
+        self._cold_extra = 0
         key = (self._epochs, _carry_sig(self.carries), q)
         step = self._step_cache.get(key)
         if step is None:
@@ -779,3 +847,7 @@ class FusedSegment:
         src._source_quota = max(0, src._source_quota - q)
         self.tail_out.post(DeviceChunk(y, self.tail_dtype))
         self.fused_elements += q
+        if self._pair_pending:
+            self._pair_pending = False
+            self.disengage()
+            self.try_engage()
