@@ -55,9 +55,13 @@ def main():
     topo.commit()
 
     total = 1 << 27  # 128 Mi samples
-    topo.run_source_elements(total // 4)  # warmup + compile
-    if sink.last is not None:
-        float(np.abs(np.asarray(sink.last[-1:])).sum())
+    # two warmups: the first pays the cold-start program, the second
+    # the steady pair ladder (compiles are DEFERRED on this relay, so
+    # each warmup must force a sync before the next phase)
+    for _ in range(2):
+        topo.run_source_elements(total // 4)
+        if sink.last is not None:
+            float(np.abs(np.asarray(sink.last[-1:])).sum())
     t0 = time.perf_counter()
     topo.run_source_elements(total)
     if sink.last is not None:

@@ -292,11 +292,29 @@ class FIRFilter(Block):
         k1 = len(self._taps) - 1
         is_cplx = self.dtype.is_complex
 
+        def padded_mm(xp, hp):
+            # the Toeplitz core consumes whole 128-sample blocks; pad
+            # the tail with zeros and slice the outputs back — exact,
+            # the convolution is causal (padding only affects outputs
+            # past T). The history carry comes from the REAL tail.
+            t = xp.shape[1]
+            pad = (-t) % 128
+            if pad:
+                xq = jnp.concatenate(
+                    [xp, jnp.zeros((xp.shape[0], pad, 2), xp.dtype)],
+                    axis=1)
+                y, _ = fir_multichannel_mm(xq, hp, t0, t1)
+                y = y[:, :t]
+                hist = (jnp.concatenate([hp, xp], axis=1)[:, t:]
+                        if k1 else xp[:, :0])
+                return y, hist
+            return fir_multichannel_mm(xp, hp, t0, t1)
+
         if is_cplx:
             carry0 = jnp.zeros((channels, max(k1, 0), 2), jnp.float32)
 
             def step(carry, x):
-                y, hist = fir_multichannel_mm(x, carry, t0, t1)
+                y, hist = padded_mm(x, carry)
                 return hist, y
         else:
             carry0 = jnp.zeros((channels, max(k1, 0)), jnp.float32)
@@ -304,7 +322,7 @@ class FIRFilter(Block):
             def step(carry, x):
                 xp = jnp.stack([x, jnp.zeros_like(x)], axis=-1)
                 hp = jnp.stack([carry, jnp.zeros_like(carry)], axis=-1)
-                y, hist = fir_multichannel_mm(xp, hp, t0, t1)
+                y, hist = padded_mm(xp, hp)
                 return hist[..., 0], y[..., 0]
 
         return carry0, step
@@ -344,7 +362,10 @@ class FIRFilter(Block):
         return self._K - 1
 
     def fuse_granule(self) -> int:
-        # rational cores consume whole b_in blocks (128*M samples)
+        # rational cores consume whole b_in blocks (128*M samples); the
+        # 1:1 matmul core pads to its 128-sample Toeplitz blocks
+        # internally (exact: the convolution is causal), so it imposes
+        # no granule
         return 128 * self._M if (self._M != 1 or self._L != 1) else 1
 
     def fuse_ratio(self):
@@ -395,17 +416,15 @@ class FIRFilter(Block):
             empty = jnp.zeros((channels, 0) + suffix, jnp.float32)
 
             def cold_step(carry, x, _step=step, _k1=k1):
-                # carry length is static per trace: a short carry means
-                # the stream hasn't produced K-1 samples yet — pad with
-                # zeros and drop the corresponding first outputs
-                have = carry.shape[1]
-                if have == _k1:
+                # carry length is static per trace: zero-length means
+                # this is the over-pulled FIRST quantum (q + K-1, see
+                # FusedSegment.try_engage) — its leading K-1 samples
+                # ARE the history (streaming semantics: the first K-1
+                # inputs produce no output), leaving a ladder-aligned
+                # q-sample body
+                if carry.shape[1] == _k1:
                     return _step(carry, x)
-                pad = jnp.zeros(
-                    (x.shape[0], _k1 - have) + x.shape[2:], x.dtype)
-                hist2, y = _step(
-                    jnp.concatenate([pad, carry], axis=1), x)
-                return hist2, y[:, _k1 - have:]
+                return _step(x[:, :_k1], x[:, _k1:])
 
             return empty, cold_step
         parts = self.input(0).take(k1)

@@ -213,24 +213,28 @@ class Threshold(Block):
 
     def set_activation_level(self, level):
         self._activation_level = level
+        self._bump_fuse_epoch()
 
     def get_activation_level(self):
         return self._activation_level
 
     def set_deactivation_level(self, level):
         self._deactivation_level = level
+        self._bump_fuse_epoch()
 
     def get_deactivation_level(self):
         return self._deactivation_level
 
     def set_activation_id(self, label_id: str):
         self._activation_id = label_id
+        self._bump_fuse_epoch()
 
     def get_activation_id(self) -> str:
         return self._activation_id
 
     def set_deactivation_id(self, label_id: str):
         self._deactivation_id = label_id
+        self._bump_fuse_epoch()
 
     def get_deactivation_id(self) -> str:
         return self._deactivation_id
@@ -262,6 +266,55 @@ class Threshold(Block):
         self._active_state = bool(state)
         port.consume(n)
         out.post(buf.copy(), labels)
+
+    # -- auto-fusion: stream passthrough with device-side state walk --- #
+    # Threshold forwards the stream unchanged; the labels exist only
+    # when activation/deactivation ids are configured, so an id-less
+    # instance fuses (chains containing it stay device-resident). The
+    # hysteresis state still advances EXACTLY on device — a later
+    # set_activation_id (epoch bump -> disengage) resumes streaming
+    # with the correct state. Crossing order ties replicate the
+    # streaming walk's branch order (activation checked first).
+    def fuse_ready(self) -> bool:
+        # overlapping bands (deactivation > activation) make a sample
+        # satisfy BOTH conditions and the walk toggles per candidate
+        # (parity, not last-candidate) — that config streams
+        return (not self._activation_id and not self._deactivation_id
+                and self._deactivation_level <= self._activation_level
+                and self.dtype.is_float and self.dtype.bits == 32)
+
+    def fuse_label_adjust(self, lb):
+        return lb
+
+    def fuse_export(self, channels: int):
+        import jax.numpy as jnp
+
+        act = np.float32(self._activation_level)
+        deact = np.float32(self._deactivation_level)
+        carry = jnp.full((channels, 1),
+                         np.float32(1.0 if self._active_state else 0.0))
+
+        def step(carry, x):
+            t = x.shape[1]
+            idx = jnp.arange(t, dtype=jnp.float32)[None, :]
+            above = x > act
+            below = x < deact
+            # last index where each condition could flip the state;
+            # -1 when never. At an equal index the streaming walk
+            # checks activation FIRST, so activation wins ties.
+            last_a = jnp.max(jnp.where(above, idx, -1.0), axis=1,
+                             keepdims=True)
+            last_b = jnp.where(above, -1.0, jnp.where(below, idx, -1.0))
+            last_d = jnp.max(last_b, axis=1, keepdims=True)
+            new = jnp.where(
+                (last_a < 0) & (last_d < 0), carry,
+                jnp.where(last_a >= last_d, 1.0, 0.0))
+            return new, x
+
+        return carry, step
+
+    def fuse_import(self, carry) -> None:
+        self._active_state = bool(float(np.asarray(carry)[0, 0]) > 0.5)
 
 
 # ---------------------------------------------------------------------- #

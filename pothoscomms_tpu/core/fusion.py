@@ -500,8 +500,12 @@ class FusedSegment:
             if (port0 is not None and retained is not None
                     and port0.elements() != retained):
                 if (self.source is not None and port0.elements() == 0
+                        and cold_extra == 0
                         and getattr(b, "fuse_cold_start",
                                     lambda: False)()):
+                    # at most ONE cold member: its K-1 head-unit
+                    # over-pull leaves a ladder-aligned body; a second
+                    # cold FIR downstream would see a misaligned stream
                     cold_extra += retained / ratio
                 else:
                     return False

@@ -406,3 +406,50 @@ def test_int16_byte_order_chain_fused():
 
     x = rng.integers(0, 1 << 16, 30000).astype(np.uint16)
     assert_parity(build, [x], dtype_in="uint16", dtype_out="uint16")
+
+
+# --------------------------------------------------------------------- #
+# Threshold passthrough fusion (id-less: no labels, exact state carry)
+# --------------------------------------------------------------------- #
+def test_threshold_fused_passthrough_and_state():
+    def build():
+        th = BlockRegistry.make("/comms/threshold", "float32")
+        th.set_activation_level(0.5)
+        th.set_deactivation_level(-0.5)
+        ab = BlockRegistry.make("/comms/abs", "float32")
+        return [th, ab]
+
+    x = rng.normal(size=3 * THRESH).astype(np.float32)
+    f, s, topo = assert_parity(build, [x[:10000], x[10000:]],
+                               dtype_in="float32", dtype_out="float32")
+    # the hysteresis state advanced on device and was imported back
+    th_f = topo._segments[0].blocks[0]
+    # streaming oracle for the final state
+    state = False
+    for v in x:
+        if not state and v > 0.5:
+            state = True
+        elif state and v < -0.5:
+            state = False
+    topo._segments[0].disengage()
+    assert th_f._active_state == state
+
+
+def test_threshold_with_label_ids_streams():
+    def build():
+        th = BlockRegistry.make("/comms/threshold", "float32")
+        th.set_activation_level(0.5)
+        th.set_deactivation_level(-0.5)
+        th.set_activation_id("up")
+        ab = BlockRegistry.make("/comms/abs", "float32")
+        return [th, ab]
+
+    x = rng.normal(size=3 * THRESH).astype(np.float32)
+    s_f, topo = run_chain(build, [x], True, dtype_in="float32",
+                          dtype_out="float32")
+    s_s, _ = run_chain(build, [x], False, dtype_in="float32",
+                       dtype_out="float32")
+    np.testing.assert_array_equal(s_f.get_buffer(), s_s.get_buffer())
+    lf = [(lb.id, lb.index) for lb in s_f.get_labels()]
+    ls = [(lb.id, lb.index) for lb in s_s.get_labels()]
+    assert lf == ls and len(lf) > 0
