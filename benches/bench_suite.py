@@ -100,19 +100,24 @@ def bench_fft_64ch_1024():
         jax.block_until_ready(z)
     jax.block_until_ready(f(xs[-1]))  # compile outside the window
 
+    # the relay evaluates LAZILY and block_until_ready is NOT a
+    # barrier (probed: it returns before compute); the only trustworthy
+    # sync is a forced VALUE fetch. One jitted reduction over all
+    # outputs forces every step through the data dependency with a
+    # single ~20 ms scalar fetch.
+    reduce = jax.jit(lambda *os: sum(jnp.sum(o) for o in os))
+    float(reduce(*[f(z) for z in xs[:iters]]))  # compile reduce
+
     t0 = time.perf_counter()
     outs = [f(z) for z in xs[:iters]]  # distinct inputs: no memoization
-    jax.block_until_ready(outs[-1])
-    # the relay executes in order: the last result implies all ran, but
-    # sync each to be airtight
-    for o in outs:
-        jax.block_until_ready(o)
+    acc = float(reduce(*outs))
     dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(acc)
 
     # ingest-bound: upload + compute + force per iteration, fresh data
     t0 = time.perf_counter()
     z = jnp.asarray(hosts[-1] * np.float32(1.000001))
-    jax.block_until_ready(f(z))
+    _ = float(jnp.sum(f(z)))
     ingest_dt = time.perf_counter() - t0
 
     samples = C * FRAMES * NB
