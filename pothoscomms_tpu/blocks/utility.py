@@ -350,6 +350,22 @@ class SplitComplex(Block):
         self.output("re").post(re.astype(self.scalar.np))
         self.output("im").post(im.astype(self.scalar.np))
 
+    # -- auto-fusion: 2-output TAIL splitting the planar planes --------- #
+    def fuse_ready(self) -> bool:
+        return self.scalar.is_float and self.scalar.bits == 32
+
+    def fuse_label_adjust(self, lb):
+        return lb
+
+    def fuse_export(self, channels: int):
+        def step(carry, x):
+            return carry, (x[..., 0], x[..., 1])
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass
+
 
 # ---------------------------------------------------------------------- #
 # /comms/wave_trigger (reference: utility/WaveTrigger.cpp)

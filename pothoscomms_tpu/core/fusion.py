@@ -239,12 +239,23 @@ def detect_segments(blocks, topology) -> List["FusedSegment"]:
             if len(ds) != 1:
                 break
             nxt = ds[0].block
-            if (not _is_fusable(nxt) or id(nxt) in used or nxt is blk
-                    or feeders.get(id(nxt.input(0)), 0) != 1):
+            if (id(nxt) in used or nxt is blk or len(nxt.inputs) != 1
+                    or feeders.get(
+                        id(next(iter(nxt.inputs.values()))), 0) != 1):
                 break
-            run.append(nxt)
-            used.add(id(nxt))
-            cur = nxt
+            if _is_fusable(nxt):
+                run.append(nxt)
+                used.add(id(nxt))
+                cur = nxt
+                continue
+            if (hasattr(nxt, "fuse_export") and hasattr(nxt, "fuse_ready")
+                    and len(nxt.outputs) > 1):
+                # multi-output block (SplitComplex): joins only as the
+                # TERMINAL tail — the segment posts one DeviceChunk per
+                # output port
+                run.append(nxt)
+                used.add(id(nxt))
+            break
         if len(run) >= 2:
             used.update(id(b) for b in run)
             seg = FusedSegment(run, topology)
@@ -280,10 +291,16 @@ def _source_chain_step(src_step, cores, t: int):
         for core, c, p in zip(cores, carries[1:], params[1:]):
             c2, x = core(c, x, *p)
             new.append(c2)
-        y = x[0]
-        if y.ndim == 3:  # FFT frames [nw, nbins, 2] -> stream
-            y = y.reshape(-1, 2)
-        return y, tuple(new)
+
+        def fin(v):
+            v = v[0]
+            if v.ndim == 3:  # FFT frames [nw, nbins, 2] -> stream
+                v = v.reshape(-1, 2)
+            return v
+
+        if isinstance(x, tuple):  # multi-output tail (SplitComplex)
+            return tuple(fin(v) for v in x), tuple(new)
+        return fin(x), tuple(new)
 
     return step
 
@@ -318,10 +335,18 @@ def _chain_step(cores):
         for core, c, p in zip(cores, carries, params):
             c2, x = core(c, x, *p)
             new.append(c2)
-        y = x[0]  # drop the channel axis
-        if y.ndim == 3:  # FFT frames [nw, nbins, 2] -> stream
-            y = y.reshape(-1, 2)
-        return y, tuple(new)
+
+        def fin(v):
+            v = v[0]  # drop the channel axis
+            if v.ndim == 3:  # FFT frames [nw, nbins, 2] -> stream
+                v = v.reshape(-1, 2)
+            return v
+
+        # a multi-output TAIL (SplitComplex) returns a tuple: one
+        # stream per tail port
+        if isinstance(x, tuple):
+            return tuple(fin(v) for v in x), tuple(new)
+        return fin(x), tuple(new)
 
     return step
 
@@ -355,9 +380,11 @@ class FusedSegment:
         self.heads = ([] if self.source
                       else list(blocks[0].inputs.values()))
         self.head = self.heads[0] if len(self.heads) == 1 else None
-        self.tail_out = blocks[-1].output(0)
+        self.tail_outs = list(blocks[-1].outputs.values())
+        self.tail_out = self.tail_outs[0]
         self.head_dtype = (blocks[0].output(0).dtype if self.source
                            else self.heads[0].dtype)
+        self.tail_dtypes = [o.dtype for o in self.tail_outs]
         self.tail_dtype = self.tail_out.dtype
         # Label-transparent runs: every member's label propagation is a
         # pure index rescale and its compute ignores labels — the fused
@@ -790,7 +817,9 @@ class FusedSegment:
                 # fused processing runs up to the label; the labeled
                 # region streams with exact per-sample semantics
                 avail = min(avail, limit)
-        free = self.tail_out.free_space()
+        frees = [o.free_space() for o in self.tail_outs]
+        free = (None if all(f is None for f in frees)
+                else min(f for f in frees if f is not None))
         cap = avail if free is None else min(
             avail, max(self._free_to_input_units(free), 0))
         q = self._bucket(cap)
@@ -830,7 +859,9 @@ class FusedSegment:
                 for b in self.blocks:
                     cur = b.fuse_label_adjust(cur)
                 out_labels.append(cur)
-        self.tail_out.post(DeviceChunk(y, self.tail_dtype), out_labels)
+        ys = y if isinstance(y, tuple) else (y,)
+        for out_port, dt, yy in zip(self.tail_outs, self.tail_dtypes, ys):
+            out_port.post(DeviceChunk(yy, dt), out_labels)
         self.fused_elements += q
         if self._pair_pending:
             self._pair_pending = False
@@ -846,7 +877,9 @@ class FusedSegment:
             return
         src = self.source
         avail = src._source_quota
-        free = self.tail_out.free_space()
+        frees = [o.free_space() for o in self.tail_outs]
+        free = (None if all(f is None for f in frees)
+                else min(f for f in frees if f is not None))
         cap = avail if free is None else min(
             avail, max(self._free_to_input_units(free), 0))
         extra = self._cold_extra
@@ -879,7 +912,9 @@ class FusedSegment:
         params = (self._source_params,) + tuple(self._tail_params)
         y, self.carries = step(self.carries, params)
         src._source_quota = max(0, src._source_quota - q)
-        self.tail_out.post(DeviceChunk(y, self.tail_dtype))
+        ys = y if isinstance(y, tuple) else (y,)
+        for out_port, dt, yy in zip(self.tail_outs, self.tail_dtypes, ys):
+            out_port.post(DeviceChunk(yy, dt))
         self.fused_elements += q
         if self._pair_pending:
             self._pair_pending = False

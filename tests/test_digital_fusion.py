@@ -453,3 +453,40 @@ def test_threshold_with_label_ids_streams():
     lf = [(lb.id, lb.index) for lb in s_f.get_labels()]
     ls = [(lb.id, lb.index) for lb in s_s.get_labels()]
     assert lf == ls and len(lf) > 0
+
+
+# --------------------------------------------------------------------- #
+# SplitComplex: a 2-output TAIL (one DeviceChunk per output port)
+# --------------------------------------------------------------------- #
+def test_split_complex_fused_tail():
+    def mk(fuse):
+        feed = FeederSource("complex_float32")
+        rot = BlockRegistry.make("/comms/rotate", "complex_float32")
+        rot.set_phase(0.3)
+        sp = BlockRegistry.make("/comms/split_complex", "float32")
+        s_re = CollectorSink("float32")
+        s_im = CollectorSink("float32")
+        topo = Topology()
+        topo.auto_fuse = fuse
+        topo.fuse_threshold = THRESH
+        topo.connect(feed, 0, rot, 0)
+        topo.connect(rot, 0, sp, 0)
+        topo.connect(sp, "re", s_re, 0)
+        topo.connect(sp, "im", s_im, 0)
+        return topo, feed, (s_re, s_im)
+
+    n = 4 * THRESH
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    res = []
+    for fuse in (True, False):
+        topo, feed, sinks = mk(fuse)
+        feed.feed_buffer(x)
+        topo.commit()
+        assert topo.wait_inactive(timeout=30.0)
+        if fuse:
+            seg = topo._segments[0]
+            assert len(seg.blocks) == 2 and len(seg.tail_outs) == 2
+            assert seg.fused_elements > 0, "split tail never engaged"
+        res.append((sinks[0].get_buffer(), sinks[1].get_buffer()))
+    np.testing.assert_allclose(res[0][0], res[1][0], atol=1e-5)
+    np.testing.assert_allclose(res[0][1], res[1][1], atol=1e-5)
