@@ -330,28 +330,40 @@ class FIRFilter(Block):
     def _rational_device_core(self, channels: int):
         """Rational (L/M) resampling as the blocked-Toeplitz matmul
         (ops/filter.rational_fir_mm); carry = K-1 polyphase INPUT
-        history samples. Quanta must be multiples of fuse_granule()."""
+        history samples PLUS any sub-M input-phase residue r (an
+        interior rational FIR retains K-1+r on the streaming path; the
+        residue rides the carry so the segment engages at ANY phase,
+        not just r == 0). Quanta must be multiples of fuse_granule(),
+        so r stays constant across quanta and shapes stay static."""
         t0, t1, b_in, b_out = fops.rational_fir_operators(
             self._taps, self._M, self._L)
         k1 = max(self._K - 1, 1)
+        M = self._M
         is_cplx = self.dtype.is_complex
+
+        def core(carry, xp):
+            # carry [C, k1 + r, 2]: history then residue (oldest first)
+            hist = carry[:, :k1]
+            if carry.shape[1] > k1:
+                xp = jnp.concatenate([carry[:, k1:], xp], axis=1)
+            n = (xp.shape[1] // M) * M
+            y, hist2 = fops.rational_fir_mm(xp[:, :n], hist, t0, t1,
+                                            b_in, b_out)
+            return jnp.concatenate([hist2, xp[:, n:]], axis=1), y
 
         if is_cplx:
             carry0 = jnp.zeros((channels, k1, 2), jnp.float32)
 
             def step(carry, x):
-                y, hist = fops.rational_fir_mm(x, carry, t0, t1,
-                                               b_in, b_out)
-                return hist, y
+                return core(carry, x)
         else:
             carry0 = jnp.zeros((channels, k1), jnp.float32)
 
             def step(carry, x):
                 xp = jnp.stack([x, jnp.zeros_like(x)], axis=-1)
                 hp = jnp.stack([carry, jnp.zeros_like(carry)], axis=-1)
-                y, hist = fops.rational_fir_mm(xp, hp, t0, t1,
-                                               b_in, b_out)
-                return hist[..., 0], y[..., 0]
+                c2, y = core(hp, xp)
+                return c2[..., 0], y[..., 0]
 
         return carry0, step
 
@@ -359,6 +371,14 @@ class FIRFilter(Block):
     fuse_kind = "fir"
 
     def fuse_retained(self) -> int:
+        # an interior rational FIR retains K-1 history PLUS an input-
+        # phase residue r in [0, M); the export absorbs both, so the
+        # retention check accepts the whole steady-state holding
+        if self._M > 1 or self._L > 1:
+            k1 = self._K - 1
+            avail = self.input(0).elements()
+            if k1 <= avail < k1 + self._M:
+                return avail
         return self._K - 1
 
     def fuse_granule(self) -> int:
@@ -427,7 +447,13 @@ class FIRFilter(Block):
                 return _step(x[:, :_k1], x[:, _k1:])
 
             return empty, cold_step
-        parts = self.input(0).take(k1)
+        take = k1
+        if self._M > 1 or self._L > 1:
+            # interior steady state: absorb the sub-M input-phase
+            # residue into the carry too (see _rational_device_core)
+            if k1 <= avail < k1 + self._M:
+                take = avail
+        parts = self.input(0).take(take)
         hist = np.concatenate([np.asarray(p) for p in parts])
         if self.dtype.is_complex:
             carry = jnp.asarray(np.stack(

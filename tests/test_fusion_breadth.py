@@ -349,3 +349,37 @@ def test_rational_fir_interior_engages_at_zero_residue():
     n = min(len(a), len(b))
     assert n > 0
     np.testing.assert_allclose(a[:n], b[:n], atol=1e-3)
+
+
+def test_rational_fir_interior_engages_at_nonzero_residue():
+    """Round 5: an INTERIOR rational member engages at ANY polyphase
+    residue — the sub-M residue rides the carry (oldest-first) and
+    stays constant across granule-aligned quanta. Even-sized feeds with
+    K-1 odd leave residue 1 for M=2."""
+    rng = np.random.default_rng(29)
+    M, L, K_TAPS = 2, 3, 60
+    taps = (rng.normal(size=K_TAPS) + 1j * rng.normal(size=K_TAPS)) / K_TAPS
+
+    def mk():
+        sc = BlockRegistry.make("/comms/scale", "complex_float32")
+        sc.set_factor(0.75)
+        fir = BlockRegistry.make("/comms/fir_filter", "complex_float32",
+                                 "COMPLEX")
+        fir.set_taps(taps)
+        fir.set_decimation(M)
+        fir.set_interpolation(L)
+        return [sc, fir]
+
+    # even totals: residue (avail - 59) mod 2 == 1 at engagement checks
+    feeds = [_cplx(rng, 4 * THRESH), _cplx(rng, 2 * THRESH)]
+    s_f, topo = _run(mk(), "complex_float32", "complex_float32", feeds,
+                     True)
+    assert sum(s.engage_count for s in topo._segments) >= 1, (
+        "interior rational FIR never engaged at nonzero residue")
+    assert sum(s.fused_elements for s in topo._segments) > 0
+    s_r, _ = _run(mk(), "complex_float32", "complex_float32", feeds,
+                  False)
+    a, b = s_f.get_buffer(), s_r.get_buffer()
+    n = min(len(a), len(b))
+    assert n > 0 and abs(len(a) - len(b)) < 2 * K_TAPS
+    np.testing.assert_allclose(a[:n], b[:n], atol=1e-3)
