@@ -348,9 +348,39 @@ def bench_digital_link():
         if np.array_equal(pkt.payload, exp)
     )
     bits = n_frames * mtu
-    return {"metric": "digital_link_frames", "value": delivered,
-            "unit": f"bit-exact frames of {n_frames}",
-            "kbit_per_s": round(bits / dt / 1e3, 1), "quiesced": bool(ok)}
+
+    # warm phase: the cold number above is dominated by the one-time
+    # remote compile of the correlator kernel; feed a second batch
+    # through the SAME topology for the steady-state control-path rate
+    payloads2 = [rng.integers(0, 2, mtu).astype(np.uint8)
+                 for _ in range(n_frames)]
+    first = len(sink.packets)
+    t0 = time.perf_counter()
+    # sacrificial LEAD frame: batch 1's flush packet becomes a detected
+    # frame once new data arrives, and its MTU window swallows whatever
+    # follows — give it this dummy instead of a real payload (the same
+    # role the trailing flush plays at stream end)
+    feeder.feed_packet(Packet(np.zeros(mtu, np.uint8)))
+    for p in payloads2:
+        feeder.feed_packet(Packet(p))
+    feeder.feed_packet(Packet(np.zeros(len(preamble), np.uint8)))
+    ok2 = topo.wait_inactive(timeout=30.0)
+    dt2 = time.perf_counter() - t0
+    # order-preserving two-pointer count (artifact frames interleave)
+    delivered2 = 0
+    ei = 0
+    for pkt in sink.packets[first:]:
+        for j in range(ei, len(payloads2)):
+            if np.array_equal(pkt.payload, payloads2[j]):
+                delivered2 += 1
+                ei = j + 1
+                break
+    return {"metric": "digital_link_frames",
+            "value": delivered + delivered2,
+            "unit": f"bit-exact frames of {2 * n_frames}",
+            "kbit_per_s": round(bits / dt2 / 1e3, 1),
+            "cold_kbit_per_s": round(bits / dt / 1e3, 1),
+            "quiesced": bool(ok and ok2)}
 
 
 def bench_digital_modem_bulk():
