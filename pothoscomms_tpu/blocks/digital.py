@@ -799,6 +799,26 @@ def bitwise_binary_factory(dtype, operation: str = "AND", num_channels: int = 2)
                 self.setup_input(i, dt)
             self.setup_output(0, dt)
 
+        # -- auto-fusion: N-ary fan-in HEAD on integer-f32 planes ------- #
+        def fuse_ready(self):
+            return dt.bits <= 16
+
+        def fuse_export(self, channels):
+            core = dd.bitwise_binary_core(operation, dt.bits)
+            if dt.is_signed:
+                core = dd.signed_wrap(core, dt.bits, nargs=2)
+
+            def step(carry, xs):
+                acc = xs[0]
+                for x in xs[1:]:
+                    acc = core(acc, x)
+                return carry, acc
+
+            return (), step
+
+        def fuse_import(self, carry):
+            pass
+
         def work(self):
             ports = list(self.inputs.values())
             n = min(p.elements() for p in ports)

@@ -985,3 +985,21 @@ class ModF(Block):
         port.consume(elems)
         self.output("int").post(_as_np(integral))
         self.output("frac").post(_as_np(frac))
+
+    # -- auto-fusion: 2-output TAIL (int plane, frac plane) ------------- #
+    def fuse_ready(self) -> bool:
+        return (self.dtype.is_float and self.dtype.bits == 32
+                and not self.dtype.is_complex)
+
+    def fuse_label_adjust(self, lb):
+        return lb
+
+    def fuse_export(self, channels: int):
+        def step(carry, x):
+            i = jnp.trunc(x)
+            return carry, (i, x - i)
+
+        return (), step
+
+    def fuse_import(self, carry) -> None:
+        pass

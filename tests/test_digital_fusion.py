@@ -490,3 +490,65 @@ def test_split_complex_fused_tail():
         res.append((sinks[0].get_buffer(), sinks[1].get_buffer()))
     np.testing.assert_allclose(res[0][0], res[1][0], atol=1e-5)
     np.testing.assert_allclose(res[0][1], res[1][1], atol=1e-5)
+
+
+def test_bitwise_binary_fanin_fused():
+    def mk(fuse):
+        f1, f2 = FeederSource("uint8"), FeederSource("uint8")
+        bw = BlockRegistry.make("/comms/bitwise_binary", "uint8", "XOR", 2)
+        nt = BlockRegistry.make("/comms/bitwise_unary", "uint8", "NOT")
+        sink = CollectorSink("uint8")
+        topo = Topology()
+        topo.auto_fuse = fuse
+        topo.fuse_threshold = THRESH
+        topo.connect(f1, 0, bw, 0)
+        topo.connect(f2, 0, bw, 1)
+        topo.connect(bw, 0, nt, 0)
+        topo.connect(nt, 0, sink, 0)
+        return topo, (f1, f2), sink
+
+    n = 4 * THRESH
+    a = rng.integers(0, 256, n).astype(np.uint8)
+    b = rng.integers(0, 256, n).astype(np.uint8)
+    outs = []
+    for fuse in (True, False):
+        topo, (f1, f2), sink = mk(fuse)
+        f1.feed_buffer(a)
+        f2.feed_buffer(b)
+        topo.commit()
+        assert topo.wait_inactive(timeout=30.0)
+        if fuse:
+            assert topo._segments and topo._segments[0].fused_elements > 0
+        outs.append(sink.get_buffer())
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], (~(a ^ b)).astype(np.uint8))
+
+
+def test_modf_fused_two_output_tail():
+    def mk(fuse):
+        feed = FeederSource("float32")
+        ab = BlockRegistry.make("/comms/abs", "float32")
+        mf = BlockRegistry.make("/comms/modf", "float32")
+        si, sf = CollectorSink("float32"), CollectorSink("float32")
+        topo = Topology()
+        topo.auto_fuse = fuse
+        topo.fuse_threshold = THRESH
+        topo.connect(feed, 0, ab, 0)
+        topo.connect(ab, 0, mf, 0)
+        topo.connect(mf, "int", si, 0)
+        topo.connect(mf, "frac", sf, 0)
+        return topo, feed, (si, sf)
+
+    n = 4 * THRESH
+    x = (rng.normal(size=n) * 10).astype(np.float32)
+    res = []
+    for fuse in (True, False):
+        topo, feed, sinks = mk(fuse)
+        feed.feed_buffer(x)
+        topo.commit()
+        assert topo.wait_inactive(timeout=30.0)
+        if fuse:
+            assert topo._segments and topo._segments[0].fused_elements > 0
+        res.append((sinks[0].get_buffer(), sinks[1].get_buffer()))
+    np.testing.assert_allclose(res[0][0], res[1][0], atol=1e-6)
+    np.testing.assert_allclose(res[0][1], res[1][1], atol=1e-6)
